@@ -1,0 +1,53 @@
+"""Test configuration: force CPU jax with 8 virtual devices before import.
+
+Multi-device sharding tests run against a virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), mirroring the
+driver's dryrun_multichip validation. x64 is enabled because the f64
+paths (basis generation parity, precision=64) are exercised in tests;
+solver code is dtype-explicit so f32 paths stay f32.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from calamity_tpu import simulate  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def golomb_visdata():
+    """6-ant Golomb array, 200 channels, single time, no autos."""
+    return simulate.make_golomb_array(nants=6, nfreqs=200, seed=0)
+
+
+@pytest.fixture()
+def sky_model(golomb_visdata):
+    return golomb_visdata.copy()
+
+
+@pytest.fixture(scope="session")
+def redundant_visdata():
+    """3-ant Golomb array duplicated (redundant pairs), with autos."""
+    return simulate.make_redundant_array(include_autos=True, seed=5)
+
+
+@pytest.fixture()
+def sky_model_redundant(redundant_visdata):
+    uvd = redundant_visdata.copy()
+    uvd.select(bls=[ap for ap in uvd.get_antpairs() if ap[0] != ap[1]], inplace=True)
+    return uvd
+
+
+@pytest.fixture()
+def noise_with_flags():
+    return simulate.make_noise_with_rfi_flags()

@@ -1,0 +1,172 @@
+"""Tests for the io layer: VisData/CalData/FlagWeights + uvh5/calh5/calfits."""
+
+import os
+
+import numpy as np
+import pytest
+
+from calamity_tpu import simulate, utils
+from calamity_tpu.io import CalData, FlagWeights, VisData, jstr2num, polnum2str, polstr2num
+
+
+def test_polarizations():
+    assert polstr2num("xx") == -5
+    assert polstr2num("yy") == -6
+    assert polstr2num("ee", x_orientation="east") == -5
+    assert polstr2num("nn", x_orientation="north") == -5
+    assert polnum2str(-5) == "xx"
+    assert polnum2str(-5, x_orientation="east") == "ee"
+    assert jstr2num("Jxx") == -5
+    assert polstr2num("pI") == 1
+    with pytest.raises(KeyError):
+        polstr2num("zz")
+
+
+def test_uvh5_roundtrip(tmp_path, golomb_visdata):
+    path = os.path.join(str(tmp_path), "test.uvh5")
+    golomb_visdata.write_uvh5(path)
+    uvd = VisData.from_uvh5(path)
+    assert uvd.Nbls == golomb_visdata.Nbls
+    assert uvd.Nfreqs == 200
+    assert np.allclose(uvd.data_array, golomb_visdata.data_array)
+    assert np.allclose(uvd.freq_array, golomb_visdata.freq_array)
+    assert np.allclose(uvd.uvw_array, golomb_visdata.uvw_array)
+    assert uvd.get_antpairs() == golomb_visdata.get_antpairs()
+    with pytest.raises(IOError):
+        uvd.write_uvh5(path, clobber=False)
+    uvd.write_uvh5(path, clobber=True)
+
+
+def test_reference_fixture_readable():
+    """Cross-validate the uvh5 reader against an upstream-written file."""
+    ref = (
+        "/root/reference/calamity/data/"
+        "Garray_antenna_diameter2.0_fractional_spacing1.0_nant6_nf200_"
+        "df100.000kHz_f0100.000MHzcompressed_True_autosFalse_gsm.uvh5"
+    )
+    if not os.path.exists(ref):
+        pytest.skip("reference fixture not available")
+    uvd = VisData.from_uvh5(ref)
+    assert uvd.Nbls == 15
+    assert uvd.Nfreqs == 200
+    assert uvd.Npols == 1
+    assert uvd.data_array.shape == (15, 1, 200, 1)
+    enu, nums = uvd.get_ENU_antpos()
+    assert enu.shape == (6, 3)
+    # Golomb EW array: antennas nearly collinear east-west
+    assert np.std(enu[:, 1]) < 2.0
+
+
+def test_get_data_conjugation(golomb_visdata):
+    uvd = golomb_visdata
+    ap = uvd.get_antpairs()[0]
+    d = uvd.get_data(ap + ("xx",))
+    d_conj = uvd.get_data((ap[1], ap[0], "xx"))
+    assert np.allclose(d, np.conj(d_conj))
+    f = uvd.get_flags(ap + ("xx",))
+    assert f.shape == d.shape
+
+
+def test_redundant_visibilities_identical(redundant_visdata):
+    """Point-source sim gives exactly equal visibilities on redundant pairs."""
+    uvd = redundant_visdata
+    v1 = uvd.get_data((0, 1, "xx"))
+    v2 = uvd.get_data((3, 4, "xx"))
+    assert np.allclose(v1, v2)
+
+
+def test_select_and_add(golomb_visdata):
+    uvd = golomb_visdata.copy()
+    aps = uvd.get_antpairs()[:3]
+    sub = uvd.select(bls=aps, inplace=False)
+    assert sub.Nbls == 3
+    assert sub.Nblts == 3
+    uvd2 = uvd.copy()
+    uvd2.time_array = uvd2.time_array + 2.0
+    both = uvd + uvd2
+    assert both.Ntimes == 2
+    assert both.Nblts == 2 * uvd.Nblts
+    # blts sorted by time: first Nbls rows are the early time
+    assert np.all(both.time_array[: uvd.Nbls] < both.time_array[uvd.Nbls :])
+    sel = both.select(times=[np.unique(both.time_array)[0]], inplace=False)
+    assert sel.Ntimes == 1
+    assert np.allclose(sel.data_array, uvd.data_array)
+
+
+def test_select_baselines(golomb_visdata):
+    uvd = golomb_visdata.copy()
+    utils.select_baselines(uvd, bllen_min=4.0)
+    enu, nums = uvd.get_ENU_antpos()
+    pos = {n: p for n, p in zip(nums.tolist(), enu)}
+    for ap in uvd.get_antpairs():
+        assert np.linalg.norm(pos[ap[0]] - pos[ap[1]]) >= 4.0
+    uvd2 = golomb_visdata.copy()
+    utils.select_baselines(uvd2, ex_ants=[0])
+    for ap in uvd2.get_antpairs():
+        assert 0 not in ap
+
+
+def test_blank_caldata(golomb_visdata):
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    assert cal.Nants_data == 6
+    assert cal.Nfreqs == 200
+    assert cal.Njones == 1
+    assert np.allclose(cal.gain_array, 1.0)
+    assert not cal.flag_array.any()
+    assert cal.gain_convention == "divide"
+    g = cal.get_gains(0, "Jxx")
+    assert g.shape == (200, 1)
+
+
+def test_caldata_select_add(golomb_visdata):
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    cal2 = cal.copy()
+    cal2.time_array = cal2.time_array + 2.0
+    both = cal2 + cal
+    assert both.Ntimes == 2
+    assert np.all(np.diff(both.time_array) > 0)
+    sel = both.select(times=[both.time_array[0]], inplace=False)
+    assert sel.Ntimes == 1
+
+
+def test_calh5_roundtrip(tmp_path, golomb_visdata):
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    cal.gain_array = cal.gain_array * (1.5 + 0.25j)
+    path = os.path.join(str(tmp_path), "gains.calh5")
+    cal.write_calh5(path)
+    back = CalData.from_calh5(path)
+    assert np.allclose(back.gain_array, cal.gain_array)
+    assert back.Nants_data == cal.Nants_data
+    assert np.allclose(back.freq_array, cal.freq_array)
+    assert back.gain_convention == "divide"
+
+
+def test_calfits_roundtrip(tmp_path, golomb_visdata):
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    cal.gain_array = cal.gain_array * (0.7 - 1.1j)
+    cal.x_orientation = "east"
+    path = os.path.join(str(tmp_path), "gains.calfits")
+    cal.write_calfits(path)
+    # FITS records are 2880-byte multiples
+    assert os.path.getsize(path) % 2880 == 0
+    back = CalData.from_calfits(path)
+    assert np.allclose(back.gain_array, cal.gain_array)
+    assert np.allclose(back.time_array, cal.time_array)
+    assert np.allclose(back.freq_array, cal.freq_array)
+    assert back.x_orientation == "east"
+    assert list(back.jones_array) == list(cal.jones_array)
+
+
+def test_flagweights(golomb_visdata):
+    uvf = FlagWeights(golomb_visdata, mode="flag")
+    assert uvf.weights_array.shape == golomb_visdata.flag_array.shape
+    uvf.weights_array[:] = 1.0
+    assert (0, 1) in uvf.get_antpairs()
+    inds = uvf.antpair2ind(0, 1)
+    assert len(inds) == 1
+
+
+def test_noise_with_flags_fixture(noise_with_flags):
+    assert noise_with_flags.flag_array.any()
+    assert not noise_with_flags.flag_array.all()
+    assert np.isfinite(noise_with_flags.data_array).all()
