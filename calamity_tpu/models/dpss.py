@@ -1,0 +1,121 @@
+"""Discrete prolate spheroidal sequence (DPSS) foreground basis.
+
+In-repo replacement for ``hera_filters.dspec.dpss_operator`` (used by the
+reference at modeling.py:294), which is a git-only dependency of the
+reference and is not available here. Given a frequency axis and a delay
+half-width W (seconds), the basis is the set of Slepian sequences: the
+eigenvectors of the spectral concentration operator
+
+    rho[m, n] = 2 W df sinc(2 W (f_m - f_n))        (uniform sampling)
+
+whose concentration eigenvalues lie in [0, 1]. Vectors with eigenvalue
+>= ``eigenval_cutoff`` span (to that tolerance) every spectrum whose delay
+transform is confined to |tau| <= W — exactly the smooth-foreground subspace
+the calibration fits per baseline.
+
+For uniformly sampled frequencies the vectors come from
+``scipy.signal.windows.dpss`` (stable tridiagonal formulation); for
+non-uniform sampling we fall back to a dense symmetric eigendecomposition.
+All generation is float64 host-side numpy (TPU f64 is emulated/slow; the
+resulting basis matrices are cast to the solve dtype when packed on device).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.signal import windows
+
+
+def _freqs_key(freqs, half_width, eigenval_cutoff):
+    freqs = np.asarray(freqs, dtype=np.float64)
+    return (
+        freqs.shape[0],
+        float(freqs[0]),
+        float(freqs[-1]),
+        round(float(half_width) * 1e17),
+        float(eigenval_cutoff),
+    )
+
+
+def _is_uniform(freqs, rtol=1e-6):
+    df = np.diff(freqs)
+    return np.allclose(df, df[0], rtol=rtol, atol=0.0)
+
+
+def _concentration_matrix(freqs, half_width):
+    """rho[m,n] = 2 W df sinc(2 W (f_m - f_n)) — symmetric, eigenvalues in [0,1]."""
+    freqs = np.asarray(freqs, dtype=np.float64)
+    df = float(np.mean(np.diff(freqs)))
+    dmat = freqs[:, None] - freqs[None, :]
+    return 2.0 * half_width * df * np.sinc(2.0 * half_width * dmat)
+
+
+def dpss_operator(freqs, filter_half_width, eigenval_cutoff=1e-10, cache=None):
+    """DPSS basis matrix for one delay half-width.
+
+    Parameters
+    ----------
+    freqs : array (Nfreqs,), Hz
+    filter_half_width : float, seconds — delay half-width W of the subspace
+    eigenval_cutoff : float — keep vectors with concentration >= this value
+    cache : dict, optional — operator cache shared across baselines
+        (reference parity: the ``operator_cache`` threading at
+        modeling.py:291-300)
+
+    Returns
+    -------
+    amat : float64 array (Nfreqs, Nterms), columns ordered by decreasing
+        concentration eigenvalue
+    evals : float64 array (Nterms,), the concentration eigenvalues
+    """
+    freqs = np.asarray(freqs, dtype=np.float64)
+    nf = len(freqs)
+    key = _freqs_key(freqs, filter_half_width, eigenval_cutoff)
+    if cache is not None and key in cache:
+        return cache[key]
+
+    df = float(np.mean(np.diff(freqs))) if nf > 1 else 1.0
+    nw = nf * df * filter_half_width  # half time-bandwidth product
+
+    if 2.0 * filter_half_width * df >= 1.0:
+        # Bandlimit covers the full Nyquist range: every spectrum is in the
+        # subspace; the basis is the identity.
+        amat = np.eye(nf)
+        evals = np.ones(nf)
+    elif _is_uniform(freqs) and nw < nf / 2.0 - 1.0:
+        # Significant eigenvalue count is ~2*NW; take a margin so the
+        # smallest returned eigenvalue is far below any sane cutoff.
+        kmax = int(min(nf, np.ceil(2.0 * nw) + 35))
+        vecs = windows.dpss(nf, nw, Kmax=kmax).T  # (nf, kmax)
+        rho = _concentration_matrix(freqs, filter_half_width)
+        evals = np.einsum("fk,fg,gk->k", vecs, rho, vecs)
+        keep = evals >= eigenval_cutoff
+        if keep.all() and kmax < nf:
+            # margin was insufficient for this cutoff: use the dense path
+            w, v = np.linalg.eigh(rho)
+            w = w[::-1]
+            v = v[:, ::-1]
+            keep = w >= eigenval_cutoff
+            amat = v[:, keep]
+            evals = w[keep]
+        else:
+            amat = vecs[:, keep]
+            evals = evals[keep]
+    else:
+        rho = _concentration_matrix(freqs, filter_half_width)
+        w, v = np.linalg.eigh(rho)
+        w = w[::-1]
+        v = v[:, ::-1]
+        keep = w >= eigenval_cutoff
+        amat = v[:, keep]
+        evals = w[keep]
+
+    result = (amat, evals)
+    if cache is not None:
+        cache[key] = result
+    return result
+
+
+def dpss_basis(freqs, filter_half_width, eigenval_cutoff=1e-10, cache=None):
+    """Basis matrix only (Nfreqs, Nterms)."""
+    return dpss_operator(freqs, filter_half_width, eigenval_cutoff, cache)[0]

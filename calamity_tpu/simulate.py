@@ -19,10 +19,11 @@ from .io.visdata import VisData
 
 C_MS = 299792458.0
 
-# Golomb ruler marks used for test arrays (perfect difference sets give
-# mostly-unique baselines; the 6-mark ruler matches the reference's 6-ant
-# fixture concept).
-GOLOMB_6 = np.array([0, 1, 4, 9, 11, 13], dtype=float)
+# Golomb ruler marks used for test arrays. {0,1,4,10,12,17} is the optimal
+# order-6 ruler: all pairwise differences are distinct, so every baseline of
+# the 6-ant fixture is non-redundant (matches the reference's 6-ant Golomb
+# fixture concept, tests/test_calibration.py:18-28).
+GOLOMB_6 = np.array([0, 1, 4, 10, 12, 17], dtype=float)
 GOLOMB_3 = np.array([0, 1, 3], dtype=float)
 
 HERA_LAT = -30.721527777778
