@@ -1,0 +1,183 @@
+"""Benchmark: time per Adam(ax) step on a HERA-scale single-chip chunk.
+
+Prints ONE JSON line:
+    {"metric": "adam_step_time", "value": <ms>, "unit": "ms/step",
+     "vs_baseline": <speedup>}
+
+The reference publishes no benchmark numbers (BASELINE.md), so the baseline
+is the reference's own computational pattern measured on the SAME device:
+the (nvecs, ngrps, nbls, nfreqs) broadcast-multiply-reduce foreground model
+(reference calibration.py:1587-1590, a pure vector-unit op reading nvecs x
+the model size from HBM), per-step eager dispatch (graph_mode=False default,
+calibration.py:670-679), and the per-step host sync of loss.numpy()
+(calibration.py:701). "Ours" is this framework's production step: MXU
+batched-matvec layout, whole loop jit-compiled, convergence checked on
+device. vs_baseline = baseline_ms / ours_ms (>1 means faster than the
+reference pattern on identical hardware and config).
+
+Config: one chunk of a 350-antenna x 1536-channel HERA fit — 2048 baselines,
+128 DPSS modes, float32 (the chunking the solver uses at full scale; the
+full problem shards chunks like this across the mesh).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _inputs(ngrps, nbls, nfreqs, nvecs, nants, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    comps = rng.standard_normal((ngrps, nbls, nfreqs, nvecs)).astype(dtype)
+    comps /= np.linalg.norm(comps, axis=2, keepdims=True) + 1e-6
+    a0 = rng.integers(0, nants, size=(ngrps, nbls)).astype(np.int32)
+    a1 = rng.integers(0, nants, size=(ngrps, nbls)).astype(np.int32)
+    g_r = np.ones((nants, nfreqs), dtype=dtype)
+    g_i = np.zeros((nants, nfreqs), dtype=dtype)
+    fg_r = rng.standard_normal((ngrps, nvecs)).astype(dtype)
+    fg_i = rng.standard_normal((ngrps, nvecs)).astype(dtype)
+    data_r = rng.standard_normal((ngrps, nbls, nfreqs)).astype(dtype)
+    data_i = rng.standard_normal((ngrps, nbls, nfreqs)).astype(dtype)
+    wgts = np.abs(rng.standard_normal((ngrps, nbls, nfreqs))).astype(dtype)
+    wgts /= wgts.sum()
+    return comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts
+
+
+def bench_ours(inputs, nsteps, lr=1e-2):
+    """Production step: fused-layout loss, whole fori_loop jit-compiled."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from calamity_tpu.ops.loss import chunked_loss
+
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = [
+        jnp.asarray(x) for x in inputs
+    ]
+    chunks = ((comps, a0, a1),)
+    opt = optax.adamax(lr)
+
+    def loss_fn(params):
+        gr, gi, fr, fi = params
+        return chunked_loss(gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,))
+
+    vg = jax.value_and_grad(loss_fn)
+
+    @jax.jit
+    def run(params, opt_state, n):
+        def body(i, carry):
+            params, opt_state, _ = carry
+            loss, grads = vg(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.lax.fori_loop(0, n, body, (params, opt_state, jnp.zeros((), comps.dtype)))
+
+    params = (g_r, g_i, fg_r, fg_i)
+    opt_state = opt.init(params)
+    # warmup/compile
+    out = run(params, opt_state, 2)
+    jax.block_until_ready(out[2])
+    t0 = time.perf_counter()
+    out = run(params, opt_state, nsteps)
+    jax.block_until_ready(out[2])
+    t1 = time.perf_counter()
+    return (t1 - t0) / nsteps * 1e3, float(out[2])
+
+
+def bench_reference_pattern(inputs, nsteps, lr=1e-2):
+    """The reference's computational pattern on the same device:
+    (nvecs, ...) broadcast-reduce layout + per-step dispatch + host sync."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = inputs
+    # reference layout: comps (nvecs, ngrps, nbls, nfreqs), coeffs (nvecs, ngrps, 1, 1)
+    comps_t = jnp.asarray(np.moveaxis(comps, -1, 0))
+    fg_r_t = jnp.asarray(fg_r.T[:, :, None, None])
+    fg_i_t = jnp.asarray(fg_i.T[:, :, None, None])
+    g_r = jnp.asarray(g_r)
+    g_i = jnp.asarray(g_i)
+    data_r = jnp.asarray(data_r)
+    data_i = jnp.asarray(data_i)
+    wgts = jnp.asarray(wgts)
+    a0 = jnp.asarray(a0)
+    a1 = jnp.asarray(a1)
+    opt = optax.adamax(lr)
+
+    def loss_fn(params):
+        gr, gi, fr, fi = params
+        vr = jnp.sum(fr * comps_t, axis=0)
+        vi = jnp.sum(fi * comps_t, axis=0)
+        gr0 = jnp.take(gr, a0, axis=0)
+        gr1 = jnp.take(gr, a1, axis=0)
+        gi0 = jnp.take(gi, a0, axis=0)
+        gi1 = jnp.take(gi, a1, axis=0)
+        grgr = gr0 * gr1
+        gigi = gi0 * gi1
+        grgi = gr0 * gi1
+        gigr = gi0 * gr1
+        model_r = (grgr + gigi) * vr + (grgi - gigr) * vi
+        model_i = (gigr - grgi) * vr + (grgr + gigi) * vi
+        return jnp.sum(
+            (jnp.square(data_r - model_r) + jnp.square(data_i - model_i)) * wgts
+        )
+
+    step = jax.jit(
+        lambda params, opt_state: _ref_step(params, opt_state, loss_fn, opt)
+    )
+    params = (g_r, g_i, fg_r_t, fg_i_t)
+    opt_state = opt.init(params)
+    loss, params2, opt_state2 = step(params, opt_state)
+    float(loss)  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        loss, params, opt_state = step(params, opt_state)
+        float(loss)  # the reference's per-step loss.numpy() host sync
+    t1 = time.perf_counter()
+    return (t1 - t0) / nsteps * 1e3, float(loss)
+
+
+def _ref_step(params, opt_state, loss_fn, opt):
+    import jax
+    import optax
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return loss, params, opt_state
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    if backend in ("cpu",):
+        # scaled-down config so CPU smoke runs finish quickly
+        cfg = dict(ngrps=64, nbls=1, nfreqs=256, nvecs=32, nants=32)
+        nsteps = 20
+    else:
+        cfg = dict(ngrps=2048, nbls=1, nfreqs=1536, nvecs=128, nants=352)
+        nsteps = 100
+    inputs = _inputs(dtype=np.float32, **cfg)
+    ours_ms, ours_loss = bench_ours(inputs, nsteps)
+    ref_ms, ref_loss = bench_reference_pattern(inputs, min(nsteps, 50))
+    assert np.isfinite(ours_loss) and np.isfinite(ref_loss)
+    print(
+        json.dumps(
+            {
+                "metric": "adam_step_time",
+                "value": round(ours_ms, 4),
+                "unit": "ms/step",
+                "vs_baseline": round(ref_ms / ours_ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""Gain application and blank-calibration construction.
+
+Reference parity: calamity/cal_utils.py. The reference applies gains with a
+per-(pol, antpair, time) Python loop (cal_utils.py:62-105); here the whole
+operation is one vectorized fancy-index per polarization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .io.caldata import CalData
+from .io.polarizations import polstr2num
+
+
+def blank_uvcal_from_uvdata(uvdata):
+    """Unity-gain unflagged CalData matching a VisData
+    (reference cal_utils.py:7-59)."""
+    return CalData.blank_from_visdata(uvdata)
+
+
+def apply_gains(uvdata, gains, inverse=False):
+    """Calibrate (divide by g_i conj(g_j)) or corrupt (inverse=True, multiply).
+
+    Gain flags are OR'd into the output data flags
+    (reference cal_utils.py:62-105)."""
+    calibrated = uvdata.copy()
+    ant_index = {int(a): i for i, a in enumerate(gains.ant_array)}
+    a0 = np.array([ant_index[int(a)] for a in uvdata.ant_1_array])
+    a1 = np.array([ant_index[int(a)] for a in uvdata.ant_2_array])
+    # match each blt time to a gain time (atol 1e-7 like the reference)
+    tidx = np.zeros(uvdata.Nblts, dtype=np.int64)
+    for i, t in enumerate(uvdata.time_array):
+        matches = np.nonzero(np.isclose(gains.time_array, t, rtol=0.0, atol=1e-7))[0]
+        if len(matches) == 0:
+            raise ValueError(f"no gain solution for time {t}")
+        tidx[i] = matches[0]
+
+    for pnum, pol in enumerate(uvdata.get_pols()):
+        gp = int(
+            np.nonzero(
+                gains.jones_array == polstr2num(pol, x_orientation=gains.x_orientation)
+            )[0][0]
+        )
+        g = gains.gain_array[:, 0, :, :, gp]  # (nants, nfreqs, ntimes)
+        gf = gains.flag_array[:, 0, :, :, gp]
+        gg = g[a0, :, tidx] * np.conj(g[a1, :, tidx])  # (nblts, nfreqs)
+        if inverse:
+            calibrated.data_array[:, 0, :, pnum] *= gg
+        else:
+            calibrated.data_array[:, 0, :, pnum] /= gg
+        calibrated.flag_array[:, 0, :, pnum] |= gf[a0, :, tidx] | gf[a1, :, tidx]
+    return calibrated

@@ -1,0 +1,722 @@
+"""High-level calibration drivers and CLI argument parsers.
+
+API parity with reference calamity/calibration.py: the public entry points
+``calibrate_and_model_tensor`` / ``calibrate_and_model_dpss`` /
+``calibrate_and_model_mixed`` / ``read_calibrate_and_model_dpss`` and the
+layered argparsers keep the reference's signatures (operating on this
+framework's VisData/CalData/FlagWeights containers instead of pyuvdata
+objects), while the execution path underneath is the TPU-native solver:
+FitSpec dense packing, jit-compiled lax.while_loop descent, batched
+least-squares warm starts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+
+import numpy as np
+
+from . import cal_utils, models, utils
+from .io.caldata import CalData
+from .io.flags import FlagWeights
+from .io.polarizations import polstr2num
+from .io.visdata import VisData
+from .ops.loss import fg_model_all_chunks
+from .ops.lstsq import init_coeffs_chunk
+from .solver.fit import fit_gains_and_foregrounds
+from .solver.optimizers import OPTIMIZERS  # noqa: F401  (reference-named registry)
+from .solver.tensorize import FitSpec
+from .utils import echo
+
+__all__ = [
+    "OPTIMIZERS",
+    "renormalize",
+    "flag_poltime",
+    "get_auto_weights",
+    "calibrate_and_model_tensor",
+    "calibrate_and_model_dpss",
+    "calibrate_and_model_dft",
+    "calibrate_and_model_mixed",
+    "read_calibrate_and_model_dpss",
+    "input_output_parser",
+    "fitting_argparser",
+    "dpss_fit_argparser",
+]
+
+
+def renormalize(uvdata_reference_model, uvdata_deconv, gains, polarization, time,
+                additional_flags=None):
+    """Fix the overall amplitude degeneracy of a fitted (model, gains) pair.
+
+    Reference parity (calibration.py:313-366): the model is scaled by the
+    rms ratio to the reference model over jointly-unflagged samples and the
+    gains absorb scale^-1/2. Guards against empty/non-finite selections so
+    heavily-flagged poltimes never inject NaNs (the behavior the reference
+    RFI test demands, test_calibration.py:519-541)."""
+    polnum = int(
+        np.nonzero(
+            uvdata_deconv.polarization_array
+            == polstr2num(polarization, x_orientation=uvdata_deconv.x_orientation)
+        )[0][0]
+    )
+    bltsel = np.isclose(uvdata_deconv.time_array, time, rtol=0.0, atol=1e-7)
+    selection = (
+        ~uvdata_deconv.flag_array[bltsel, :, :, polnum]
+        & ~uvdata_reference_model.flag_array[bltsel, :, :, polnum]
+    )
+    if additional_flags is not None:
+        selection = selection & ~additional_flags[bltsel, :, :, polnum]
+    if not np.any(selection):
+        return
+    with np.errstate(divide="ignore", invalid="ignore"):
+        data_ratio = (
+            uvdata_reference_model.data_array[bltsel, :, :, polnum][selection]
+            / uvdata_deconv.data_array[bltsel, :, :, polnum][selection]
+        )
+    data_ratio = np.where(np.isfinite(data_ratio), data_ratio, np.nan)
+    if np.all(np.isnan(np.abs(data_ratio))):
+        return
+    scale_factor = np.sqrt(np.nanmean(np.abs(data_ratio) ** 2.0))
+    if not np.isfinite(scale_factor) or scale_factor == 0.0:
+        return
+    uvdata_deconv.data_array[bltsel, :, :, polnum] *= scale_factor
+    polnum_gains = int(
+        np.nonzero(
+            gains.jones_array
+            == polstr2num(polarization, x_orientation=uvdata_deconv.x_orientation)
+        )[0][0]
+    )
+    gindt = int(np.nonzero(np.isclose(gains.time_array, time, rtol=0.0, atol=1e-7))[0][0])
+    gains.gain_array[:, :, :, gindt, polnum_gains] *= scale_factor ** -0.5
+
+
+def flag_poltime(data_object, time, polarization):
+    """Flag one (time, polarization) of a VisData or CalData
+    (reference calibration.py:1334-1350)."""
+    if isinstance(data_object, VisData):
+        bltsel = np.isclose(data_object.time_array, time, rtol=0.0, atol=1e-7)
+        polnum = int(
+            np.nonzero(
+                data_object.polarization_array
+                == polstr2num(polarization, x_orientation=data_object.x_orientation)
+            )[0][0]
+        )
+        data_object.flag_array[bltsel, :, :, polnum] = True
+        data_object.data_array[bltsel, :, :, polnum] = 0.0
+    elif isinstance(data_object, CalData):
+        polnum = int(
+            np.nonzero(
+                data_object.jones_array
+                == polstr2num(polarization, x_orientation=data_object.x_orientation)
+            )[0][0]
+        )
+        gindt = int(
+            np.nonzero(np.isclose(data_object.time_array, time, rtol=0.0, atol=1e-7))[0][0]
+        )
+        data_object.gain_array[:, 0, :, gindt, polnum] = 1.0
+        data_object.flag_array[:, 0, :, gindt, polnum] = True
+    else:
+        raise ValueError("only supports data_object that is CalData or VisData.")
+
+
+def get_auto_weights(uvdata, delay_extent=25.0):
+    """Inverse-variance weights from DPSS-smoothed autocorrelations
+    (reference calibration.py:916-960).
+
+    Each autocorrelation waterfall is fit per time to wide DPSS modes
+    (half-width ``delay_extent`` ns); cross-baseline weights are
+    1 / (auto_i * auto_j), zeroed at flags."""
+    freqs = np.asarray(uvdata.freq_array[0], dtype=np.float64)
+    comps = models.yield_dpss_model_comps_bl_grp(0.0, freqs, offset=delay_extent)
+    data_weights = FlagWeights(uvdata, mode="flag")
+    auto_fit = {}
+    pols = uvdata.get_pols()
+    for ap in uvdata.get_antpairs():
+        if ap[0] != ap[1]:
+            continue
+        for pol in pols:
+            d_wf = uvdata.get_data(ap + (pol,))
+            unflagged = ~uvdata.get_flags(ap + (pol,))
+            smooth = np.zeros(d_wf.shape, dtype=np.float64)
+            for ti in range(d_wf.shape[0]):
+                fs = unflagged[ti]
+                if not np.any(fs):
+                    smooth[ti] = 1.0
+                    continue
+                c, *_ = np.linalg.lstsq(comps[fs], d_wf[ti, fs].real, rcond=None)
+                smooth[ti] = comps @ c
+            auto_fit[(ap[0], pol)] = smooth
+    if not auto_fit:
+        raise ValueError("no autocorrelations present; cannot build auto weights")
+    for ap in uvdata.get_antpairs():
+        for pnum, pol in enumerate(pols):
+            w = 1.0 / (auto_fit[(ap[0], pol)] * auto_fit[(ap[1], pol)])
+            w = w * (~uvdata.get_flags(ap + (pol,)))
+            rows = data_weights.antpair2ind(*ap)
+            order = np.argsort(data_weights.time_array[rows], kind="stable")
+            data_weights.weights_array[rows[order], 0, :, pnum] = w
+    return data_weights
+
+
+def calibrate_and_model_tensor(
+    uvdata,
+    fg_model_comps_dict,
+    gains=None,
+    freeze_model=False,
+    optimizer="Adamax",
+    tol=1e-14,
+    maxsteps=10000,
+    include_autos=False,
+    verbose=False,
+    sky_model=None,
+    dtype=np.float32,
+    use_min=False,
+    use_redundancy=False,
+    notebook_progressbar=False,
+    correct_resid=False,
+    correct_model=True,
+    weights=None,
+    nsamples_in_weights=True,
+    graph_mode=False,
+    grp_size_threshold=5,
+    n_profile_steps=0,
+    profile_log_dir="./logdir",
+    model_regularization="sum",
+    init_guesses_from_previous_time_step=False,
+    skip_threshold=0.5,
+    use_model_snr_weights=False,
+    **opt_kwargs,
+):
+    """Simultaneous gain calibration and foreground fitting.
+
+    Reference parity: calibrate_and_model_tensor (calibration.py:963-1331),
+    with the same per-(pol, time) driver semantics — skip/flag thresholds,
+    per-time rms scaling, lstsq warm starts, optional warm-starting from the
+    previous time, post-hoc or "sum" regularization — on the TPU solver.
+    ``graph_mode`` is accepted for signature parity; compilation is always
+    on (jit is the execution model).
+
+    Returns (model, resid, gains, fit_history).
+    """
+    antpairs_data = uvdata.get_antpairs()
+    if not include_autos:
+        antpairs_data = [ap for ap in antpairs_data if ap[0] != ap[1]]
+    uvdata = uvdata.select(inplace=False, bls=list(antpairs_data))
+
+    resid = uvdata.copy()
+    model = uvdata.copy()
+    model.data_array[:] = 0.0
+    model.flag_array[:] = False
+
+    if gains is None:
+        echo(
+            f"{datetime.datetime.now()} Gains are None. Initializing gains starting with unity...\n",
+            verbose=verbose,
+        )
+        gains = cal_utils.blank_uvcal_from_uvdata(uvdata)
+    else:
+        gains = gains.copy()
+
+    if sky_model is None and model_regularization is not None:
+        echo(
+            f"{datetime.datetime.now()} Sky model is None. Initializing from data...\n",
+            verbose=verbose,
+        )
+        sky_model = cal_utils.apply_gains(uvdata, gains)
+    elif sky_model is not None:
+        sky_model = sky_model.select(inplace=False, bls=list(antpairs_data))
+
+    ants_map = {int(ant): i for i, ant in enumerate(gains.ant_array)}
+    echo(f"{datetime.datetime.now()} Packing foreground modeling tensors...\n", verbose=verbose)
+    spec = FitSpec(
+        uvdata,
+        fg_model_comps_dict,
+        ants_map,
+        dtype=dtype,
+        use_redundancy=use_redundancy,
+        grp_size_threshold=grp_size_threshold,
+    )
+    chunks = spec.device_chunks()
+    del fg_model_comps_dict
+
+    fit_history = {}
+    g_r = g_i = fg_r = fg_i = None
+    for polnum, pol in enumerate(uvdata.get_pols()):
+        echo(
+            f"{datetime.datetime.now()} Working on pol {pol}, {polnum + 1} of {uvdata.Npols}...\n",
+            verbose=verbose,
+        )
+        fit_history_p = {}
+        first_time = True
+        for time_index, time in enumerate(spec.times):
+            echo(
+                f"{datetime.datetime.now()} Working on time {time_index + 1} of {spec.ntimes}...\n",
+                verbose=verbose,
+            )
+            bltsel = np.isclose(uvdata.time_array, time, rtol=0.0, atol=1e-7)
+            frac_unflagged = np.count_nonzero(
+                ~uvdata.flag_array[bltsel, 0, :, polnum]
+            ) / (uvdata.Nbls * uvdata.Nfreqs)
+            if frac_unflagged < skip_threshold:
+                echo(
+                    f"{datetime.datetime.now()}: Only {frac_unflagged * 100}-percent of "
+                    "data unflagged. Skipping...\n",
+                    verbose=verbose,
+                )
+                flag_poltime(resid, time=time, polarization=pol)
+                flag_poltime(gains, time=time, polarization=pol)
+                flag_poltime(model, time=time, polarization=pol)
+                continue
+
+            rmsdata = np.sqrt(
+                np.mean(
+                    np.abs(
+                        uvdata.data_array[bltsel, 0, :, polnum][
+                            ~uvdata.flag_array[bltsel, 0, :, polnum]
+                        ]
+                    )
+                    ** 2.0
+                )
+            )
+            echo(f"{datetime.datetime.now()} Packing data tensors...\n", verbose=verbose)
+            data_r, data_i, wgts = spec.pack_data(
+                uvdata,
+                pol,
+                time,
+                data_scale_factor=rmsdata,
+                weights=weights,
+                nsamples_in_weights=nsamples_in_weights,
+            )
+            if sky_model is not None:
+                sky_r, sky_i, _ = spec.pack_data(
+                    sky_model, pol, time, data_scale_factor=rmsdata, weights=weights
+                )
+            else:
+                sky_r, sky_i = None, None
+
+            if first_time or not init_guesses_from_previous_time_step:
+                first_time = False
+                g_r, g_i = spec.pack_gains(gains, pol, time)
+                echo(
+                    f"{datetime.datetime.now()} Least-squares initializing foreground coeffs...\n",
+                    verbose=verbose,
+                )
+                init_r = sky_r if sky_model is not None else data_r
+                init_i = sky_i if sky_model is not None else data_i
+                fg_r = tuple(
+                    init_coeffs_chunk(c[0], dr, w)
+                    for c, dr, w in zip(chunks, init_r, wgts)
+                )
+                fg_i = tuple(
+                    init_coeffs_chunk(c[0], di, w)
+                    for c, di, w in zip(chunks, init_i, wgts)
+                )
+                if use_model_snr_weights:
+                    import jax.numpy as jnp
+
+                    wmodel = fg_model_all_chunks(fg_r, fg_i, chunks)
+                    wgts = [
+                        (jnp.square(vr) + jnp.square(vi)) * w
+                        for (vr, vi), w in zip(wmodel, wgts)
+                    ]
+                    wsum = sum(float(jnp.sum(w)) for w in wgts)
+                    wgts = [w / wsum for w in wgts]
+
+            (g_r, g_i, fg_r, fg_i, fit_history_p[time_index]) = fit_gains_and_foregrounds(
+                g_r=g_r,
+                g_i=g_i,
+                fg_r=fg_r,
+                fg_i=fg_i,
+                data_r=data_r,
+                data_i=data_i,
+                wgts=wgts,
+                chunks=chunks,
+                optimizer=optimizer,
+                use_min=use_min,
+                freeze_model=freeze_model,
+                verbose=verbose,
+                tol=tol,
+                maxsteps=maxsteps,
+                sky_model_r=sky_r,
+                sky_model_i=sky_i,
+                model_regularization=model_regularization,
+                n_profile_steps=n_profile_steps,
+                profile_log_dir=profile_log_dir,
+                **opt_kwargs,
+            )
+            spec.insert_model(
+                model, fg_model_all_chunks(fg_r, fg_i, chunks), pol, time, rmsdata
+            )
+            spec.insert_gains(gains, g_r, g_i, pol, time)
+            if (
+                not freeze_model
+                and model_regularization == "post_hoc"
+                and np.any(~model.flag_array[bltsel])
+            ):
+                renormalize(
+                    uvdata_reference_model=sky_model,
+                    uvdata_deconv=model,
+                    gains=gains,
+                    polarization=pol,
+                    time=time,
+                    additional_flags=uvdata.flag_array,
+                )
+        fit_history[polnum] = fit_history_p
+
+    model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
+    if not correct_model:
+        model = model_with_gains
+    resid.data_array -= model_with_gains.data_array
+    resid.data_array[model_with_gains.flag_array] = 0.0
+    resid.data_array[uvdata.flag_array] = 0.0
+    if correct_resid:
+        resid = cal_utils.apply_gains(resid, gains)
+
+    return model, resid, gains, fit_history
+
+
+def calibrate_and_model_dpss(
+    uvdata,
+    horizon=1.0,
+    min_dly=0.0,
+    offset=0.0,
+    include_autos=False,
+    verbose=False,
+    red_tol=1.0,
+    notebook_progressbar=False,
+    fg_model_comps_dict=None,
+    **fitting_kwargs,
+):
+    """Gain + foreground fit with per-baseline DPSS components
+    (reference calibration.py:1503-1584)."""
+    if fg_model_comps_dict is None:
+        fg_model_comps_dict = models.yield_pbl_dpss_model_comps(
+            uvdata,
+            horizon=horizon,
+            min_dly=min_dly,
+            offset=offset,
+            include_autos=include_autos,
+            red_tol=red_tol,
+            use_redundancy=fitting_kwargs.get("use_redundancy", False),
+            notebook_progressbar=notebook_progressbar,
+            verbose=verbose,
+        )
+    return calibrate_and_model_tensor(
+        uvdata=uvdata,
+        fg_model_comps_dict=fg_model_comps_dict,
+        include_autos=include_autos,
+        verbose=verbose,
+        notebook_progressbar=notebook_progressbar,
+        **fitting_kwargs,
+    )
+
+
+def calibrate_and_model_dft(
+    uvdata,
+    horizon=1.0,
+    min_dly=0.0,
+    offset=0.0,
+    include_autos=False,
+    verbose=False,
+    red_tol=1.0,
+    notebook_progressbar=False,
+    **fitting_kwargs,
+):
+    """Gain + foreground fit with per-baseline DFT delay modes — the DFT
+    basis variant named in the reference README (README.md:6)."""
+    fg_model_comps_dict = models.yield_pbl_model_comps(
+        uvdata,
+        horizon=horizon,
+        min_dly=min_dly,
+        offset=offset,
+        include_autos=include_autos,
+        red_tol=red_tol,
+        use_redundancy=fitting_kwargs.get("use_redundancy", False),
+        notebook_progressbar=notebook_progressbar,
+        verbose=verbose,
+        basis="dft",
+    )
+    return calibrate_and_model_tensor(
+        uvdata=uvdata,
+        fg_model_comps_dict=fg_model_comps_dict,
+        include_autos=include_autos,
+        verbose=verbose,
+        notebook_progressbar=notebook_progressbar,
+        **fitting_kwargs,
+    )
+
+
+def calibrate_and_model_mixed(
+    uvdata,
+    horizon=1.0,
+    min_dly=0.0,
+    offset=0.0,
+    ant_dly=0.0,
+    include_autos=False,
+    verbose=False,
+    red_tol=1.0,
+    red_tol_freq=0.5,
+    n_angle_bins=200,
+    notebook_progressbar=False,
+    use_redundancy=False,
+    use_tensorflow_to_derive_modeling_comps=False,
+    eigenval_cutoff=1e-10,
+    dtype_matinv=np.float64,
+    require_exact_angle_match=True,
+    angle_match_tol=1e-3,
+    grp_size_threshold=5,
+    model_comps_dict=None,
+    save_dict_to=None,
+    **fitting_kwargs,
+):
+    """Mixed DPSS + multi-baseline-covariance foreground fit
+    (reference calibration.py:1353-1500). The
+    ``use_tensorflow_to_derive_modeling_comps`` flag maps to the jax/XLA
+    covariance+eigh path."""
+    fitting_grps, blvecs, _, _ = models.get_uv_overlapping_grps_conjugated(
+        uvdata,
+        red_tol=red_tol,
+        include_autos=include_autos,
+        red_tol_freq=red_tol_freq,
+        n_angle_bins=n_angle_bins,
+        notebook_progressbar=notebook_progressbar,
+        require_exact_angle_match=require_exact_angle_match,
+        angle_match_tol=angle_match_tol,
+    )
+    if model_comps_dict is None:
+        model_comps_dict = models.yield_mixed_comps(
+            fitting_grps,
+            blvecs,
+            np.asarray(uvdata.freq_array[0]),
+            eigenval_cutoff=eigenval_cutoff,
+            use_jax=use_tensorflow_to_derive_modeling_comps,
+            ant_dly=ant_dly,
+            horizon=horizon,
+            offset=offset,
+            min_dly=min_dly,
+            verbose=verbose,
+            dtype=dtype_matinv,
+            notebook_progressbar=notebook_progressbar,
+            grp_size_threshold=grp_size_threshold,
+        )
+    if save_dict_to is not None:
+        np.save(save_dict_to, np.asarray(model_comps_dict, dtype=object), allow_pickle=True)
+    return calibrate_and_model_tensor(
+        uvdata=uvdata,
+        fg_model_comps_dict=model_comps_dict,
+        include_autos=include_autos,
+        verbose=verbose,
+        notebook_progressbar=notebook_progressbar,
+        use_redundancy=use_redundancy,
+        grp_size_threshold=grp_size_threshold,
+        **fitting_kwargs,
+    )
+
+
+def read_calibrate_and_model_dpss(
+    input_data_files,
+    input_model_files=None,
+    input_gain_files=None,
+    resid_outfilename=None,
+    gain_outfilename=None,
+    model_outfilename=None,
+    fitted_info_outfilename=None,
+    x_orientation="east",
+    clobber=False,
+    bllen_min=0.0,
+    bllen_max=np.inf,
+    bl_ew_min=0.0,
+    ex_ants=None,
+    select_ants=None,
+    gpu_index=None,
+    gpu_memory_limit=None,
+    precision=32,
+    use_autocorrs_in_weights=False,
+    **calibration_kwargs,
+):
+    """File-level driver (reference calibration.py:1659-1817).
+
+    Reads uvh5 inputs, runs the DPSS fit, writes resid/model uvh5 and gains
+    (calfits or calh5 by extension). ``gpu_index``/``gpu_memory_limit`` are
+    accepted for CLI parity; device placement on TPU is handled by jax
+    (single-process single-device by default; multi-device via the
+    calamity_tpu.parallel mesh API).
+    """
+    # fail fast on taken output paths before any compute happens
+    import os
+
+    if not clobber:
+        for out in (resid_outfilename, gain_outfilename, model_outfilename):
+            if out is not None and os.path.exists(out):
+                raise IOError(f"{out} exists and clobber=False")
+
+    if isinstance(input_data_files, str):
+        input_data_files = [input_data_files]
+    if isinstance(input_data_files, list):
+        uvd = VisData.from_uvh5(input_data_files[0])
+        for extra in input_data_files[1:]:
+            uvd = uvd + VisData.from_uvh5(extra)
+    else:
+        uvd = input_data_files
+
+    if use_autocorrs_in_weights:
+        weights = get_auto_weights(uvd)
+    else:
+        weights = None
+    utils.select_baselines(
+        uvd,
+        bllen_min=bllen_min,
+        bllen_max=bllen_max,
+        bl_ew_min=bl_ew_min,
+        ex_ants=ex_ants,
+        select_ants=select_ants,
+    )
+
+    if isinstance(input_model_files, str):
+        input_model_files = [input_model_files]
+    if input_model_files is not None:
+        if isinstance(input_model_files, list):
+            uvd_model = VisData.from_uvh5(input_model_files[0])
+            for extra in input_model_files[1:]:
+                uvd_model = uvd_model + VisData.from_uvh5(extra)
+        else:
+            uvd_model = input_model_files
+        utils.select_baselines(
+            uvd_model, bllen_min=bllen_min, bllen_max=bllen_max, bl_ew_min=bl_ew_min
+        )
+    else:
+        uvd_model = None
+
+    if isinstance(input_gain_files, str):
+        input_gain_files = [input_gain_files]
+    if input_gain_files is not None:
+        if isinstance(input_gain_files, list):
+            path = input_gain_files[0]
+            if path.endswith(".calh5"):
+                uvc = CalData.from_calh5(path)
+            else:
+                uvc = CalData.from_calfits(path)
+        else:
+            uvc = input_gain_files
+    else:
+        uvc = None
+
+    dtype = {32: np.float32, 64: np.float64}[precision]
+    if dtype == np.float64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+
+    model_fit, resid_fit, gains_fit, fit_info = calibrate_and_model_dpss(
+        uvdata=uvd, sky_model=uvd_model, gains=uvc, dtype=dtype, weights=weights,
+        **calibration_kwargs,
+    )
+
+    if resid_outfilename is not None:
+        resid_fit.write_uvh5(resid_outfilename, clobber=clobber)
+    if gain_outfilename is not None:
+        gains_fit.x_orientation = x_orientation
+        if gain_outfilename.endswith(".calh5"):
+            gains_fit.write_calh5(gain_outfilename, clobber=clobber)
+        else:
+            gains_fit.write_calfits(gain_outfilename, clobber=clobber)
+    if model_outfilename is not None:
+        model_fit.write_uvh5(model_outfilename, clobber=clobber)
+
+    fit_info = {"fit_history": fit_info} if not isinstance(fit_info, dict) else fit_info
+    fit_info["calibration_kwargs"] = dict(calibration_kwargs)
+    fit_info["calibration_kwargs"]["dtype"] = dtype
+    return model_fit, resid_fit, gains_fit, fit_info
+
+
+# --------------------------------------------------------------------- #
+# CLI argument parsers (reference calibration.py:1820-1942)
+# --------------------------------------------------------------------- #
+def input_output_parser():
+    ap = argparse.ArgumentParser()
+    sp = ap.add_argument_group("Input and Output Arguments.")
+    sp.add_argument("--input_data_files", type=str, nargs="+", required=True,
+                    help="paths to data files to calibrate.")
+    sp.add_argument("--input_model_files", type=str, nargs="+",
+                    help="paths to model files to set overall amplitude and phase.")
+    sp.add_argument("--input_gain_files", type=str, nargs="+",
+                    help="paths to gains to use as a starting point.")
+    sp.add_argument("--resid_outfilename", type=str, default=None,
+                    help="path for residual output file.")
+    sp.add_argument("--model_outfilename", type=str, default=None,
+                    help="path for foreground model output file.")
+    sp.add_argument("--gain_outfilename", type=str, default=None,
+                    help="path for writing fitted gains (.calfits or .calh5).")
+    sp.add_argument("--clobber", action="store_true", default=False,
+                    help="Overwrite existing outputs.")
+    sp.add_argument("--x_orientation", default="east", type=str,
+                    help="x_orientation of feeds to set in output gains.")
+    sp.add_argument("--bllen_min", default=0.0, type=float,
+                    help="minimum baseline length to include.")
+    sp.add_argument("--bllen_max", default=np.inf, type=float,
+                    help="maximum baseline length to include.")
+    sp.add_argument("--bl_ew_min", default=0.0, type=float,
+                    help="minimum EW baseline component to include.")
+    sp.add_argument("--ex_ants", default=None, type=int, nargs="+",
+                    help="Antennas to exclude.")
+    sp.add_argument("--select_ants", default=None, type=int, nargs="+",
+                    help="Antennas to select exclusively.")
+    sp.add_argument("--gpu_index", default=None, type=int,
+                    help="Accepted for parity; device selection is automatic on TPU.")
+    sp.add_argument("--gpu_memory_limit", default=None, type=int,
+                    help="Accepted for parity; memory is managed by XLA.")
+    sp.add_argument("--precision", default=32, type=int,
+                    help="Bits of floating-point precision (32 or 64).")
+    return ap
+
+
+def fitting_argparser():
+    ap = input_output_parser()
+    sp = ap.add_argument_group("General Fitting Arguments.")
+    sp.add_argument("--tol", type=float, default=1e-14,
+                    help="Stop once the loss changes by less than this value.")
+    sp.add_argument("--optimizer", type=str, default="Adamax",
+                    help="First-order optimizer (see OPTIMIZERS registry).")
+    sp.add_argument("--maxsteps", type=int, default=10000,
+                    help="Max optimization steps.")
+    sp.add_argument("--verbose", default=False, action="store_true")
+    sp.add_argument("--use_min", default=False, action="store_true",
+                    help="Return the argmin-loss parameters (guards momentum overshoot).")
+    sp.add_argument("--use_redundancy", default=False, action="store_true",
+                    help="Share foreground coefficients within redundant groups.")
+    sp.add_argument("--correct_model", default=True, action="store_true",
+                    help="Remove gain effects from the foreground model.")
+    sp.add_argument("--correct_resid", default=False, action="store_true",
+                    help="Apply fitted gains to the residuals.")
+    sp.add_argument("--graph_mode", default=False, action="store_true",
+                    help="Accepted for parity; jit compilation is always on.")
+    sp.add_argument("--init_guesses_from_previous_time_step", default=False,
+                    action="store_true",
+                    help="Warm-start each time from the previous time's solution.")
+    sp.add_argument("--learning_rate", type=float, default=1e-2,
+                    help="gradient descent learning rate.")
+    sp.add_argument("--red_tol", type=float, default=1.0,
+                    help="Redundancy tolerance between baselines [meters].")
+    sp.add_argument("--skip_threshold", type=float, default=0.5,
+                    help="Skip and flag a (time, pol) if more than this fraction is flagged.")
+    sp.add_argument("--model_regularization", type=str, default="post_hoc")
+    sp.add_argument("--nsamples_in_weights", default=False, action="store_true",
+                    help="Weight the loss by nsamples.")
+    sp.add_argument("--use_model_snr_weights", default=False, action="store_true",
+                    help="Weight the loss proportional to model SNR.")
+    sp.add_argument("--use_autocorrs_in_weights", default=False, action="store_true",
+                    help="Use smooth autocorrelation fits as inverse-variance weights.")
+    return ap
+
+
+def dpss_fit_argparser():
+    ap = fitting_argparser()
+    sp = ap.add_argument_group("DPSS Specific Fitting Arguments.")
+    sp.add_argument("--horizon", default=1.0, type=float,
+                    help="Fraction of horizon delay to model with DPSS modes.")
+    sp.add_argument("--min_dly", default=0.0, type=float,
+                    help="Minimum delay [ns] to model with DPSS modes.")
+    sp.add_argument("--offset", default=0.0, type=float,
+                    help="Offset from horizon delay [ns] to model with DPSS modes.")
+    return ap

@@ -1,0 +1,60 @@
+"""Batched masked least-squares warm start for foreground coefficients.
+
+Reference parity: tensorize_fg_coeffs (calibration.py:828-913) initializes
+each fitting group's coefficients by ``tf.linalg.lstsq`` of the (binary-
+weight-masked) data against the group's nonzero basis columns, one host
+loop iteration per group.
+
+TPU redesign: one batched normal-equation solve per chunk —
+``c = (A^T A + ridge I)^{-1} A^T (d * binwgt)`` with zero-padded basis
+columns masked out. Basis matrices have orthonormal columns (DPSS /
+covariance eigenvectors), so A^T A is ~identity and the normal equations
+are perfectly conditioned even in float32; the ridge only regularizes the
+all-zero padded columns. A Cholesky solve batched over groups replaces the
+reference's per-group host loop entirely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("ridge",))
+def init_coeffs_chunk(comps, data, wgts, ridge=1e-6):
+    """Least-squares coefficients for one chunk.
+
+    comps: (ngrps, nbls, nfreqs, nvecs), data/wgts: (ngrps, nbls, nfreqs)
+    returns coeffs (ngrps, nvecs).
+
+    Zero-padded basis columns have identically-zero gram rows/cols; their
+    diagonal is set to exactly 1 so the system is block-decoupled (the
+    padded block solves to rhs = 0) and the condition number stays ~1,
+    which keeps the Cholesky accurate in float32. A small relative ridge on
+    the active block guards near-degenerate columns."""
+    ngrps, nbls, nfreqs, nvecs = comps.shape
+    amat = comps.reshape(ngrps, nbls * nfreqs, nvecs)
+    binw = (wgts != 0).astype(data.dtype)
+    dvec = (data * binw).reshape(ngrps, nbls * nfreqs)
+    # HIGHEST precision: on TPU, default-precision f32 einsums take one
+    # bfloat16 MXU pass whose ~1e-2 relative error corrupts the solve
+    gram = jnp.einsum(
+        "gnv,gnw->gvw", amat, amat,
+        preferred_element_type=amat.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    rhs = jnp.einsum(
+        "gnv,gn->gv", amat, dvec,
+        preferred_element_type=amat.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    col_norm = jnp.sum(jnp.square(amat), axis=1)  # (ngrps, nvecs)
+    active = (col_norm > 0).astype(amat.dtype)
+    scale = jnp.max(col_norm, axis=1, keepdims=True)  # (ngrps, 1)
+    diag_add = jnp.where(active > 0, ridge * scale, 1.0)  # (ngrps, nvecs)
+    eye = jnp.eye(nvecs, dtype=amat.dtype)
+    gram = gram + eye * diag_add[..., None, :]
+    coeffs = jax.scipy.linalg.cho_solve(
+        (jax.scipy.linalg.cholesky(gram, lower=True), True), rhs[..., None]
+    )[..., 0]
+    return coeffs * active

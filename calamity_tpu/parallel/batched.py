@@ -1,0 +1,141 @@
+"""Batched multi-(time, pol) fitting, shardable over a device mesh.
+
+The reference loops serially over polarizations and times on one device
+(reference calibration.py:1160-1320). Fits for different (time, pol) slices
+are independent, so the TPU-native path batches them with a leading axis
+and runs ONE jit-compiled descent for the whole batch:
+
+    g_r/g_i : (nbatch, nants, nfreqs)
+    fg_r/fg_i per chunk : (nbatch, ngrps, nvecs)
+    data/wgts per chunk : (nbatch, ngrps, nbls, nfreqs)
+
+The loss is the sum over the batch; each slice's chi-square is independent,
+so the summed gradient updates every slice exactly as its own descent would
+(Adam-family updates are elementwise). Convergence uses the max |delta loss|
+across the batch so the loop runs until the slowest slice converges; the
+per-slice loss history is recorded on device.
+
+Sharded over a ('data', 'bl') mesh (parallel.mesh), this is the pjit'd
+"full-array, full-band calibration as one optimization" path from
+BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.loss import data_model, mse
+from ..solver.fit import FitConfig
+from ..solver.optimizers import get_optimizer
+
+
+def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts):
+    """Per-batch-element chi-square, shape (nbatch,)."""
+    vmapped = jax.vmap(
+        lambda gr, gi, fr, fi, dr, di, w, comps, a0, a1: mse(
+            *data_model(gr, gi, fr, fi, comps, a0, a1), dr, di, w
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None),
+    )
+    total = 0.0
+    for cnum, (comps, a0, a1) in enumerate(chunks):
+        total = total + vmapped(
+            g_r, g_i, fg_r[cnum], fg_i[cnum], data_r[cnum], data_i[cnum], wgts[cnum],
+            comps, a0, a1,
+        )
+    return total
+
+
+class BatchedFitResult(NamedTuple):
+    g_r: Any
+    g_i: Any
+    fg_r: Any
+    fg_i: Any
+    loss_history: Any  # (maxsteps, nbatch)
+    nsteps: Any
+    final_loss: Any  # (nbatch,)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i):
+    """Whole-batch descent in one jit (see solver.fit._fit_core for the
+    single-slice variant and the reference-parity notes)."""
+    opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
+    dtype = g_r.dtype
+    nbatch = g_r.shape[0]
+
+    if cfg.freeze_model:
+        params0 = (g_r, g_i)
+
+        def losses_fn(params):
+            return batched_chunk_losses(
+                params[0], params[1], fg_r, fg_i, chunks, data_r, data_i, wgts
+            )
+
+    else:
+        params0 = (g_r, g_i, fg_r, fg_i)
+
+        def losses_fn(params):
+            return batched_chunk_losses(
+                params[0], params[1], params[2], params[3], chunks, data_r, data_i, wgts
+            )
+
+    def total_loss(params):
+        losses = losses_fn(params)
+        return jnp.sum(losses), losses
+
+    vg = jax.value_and_grad(total_loss, has_aux=True)
+    opt_state0 = opt.init(params0)
+
+    def one_step(params, opt_state):
+        (_, losses), grads = vg(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return losses, params, opt_state
+
+    _, params, opt_state = one_step(params0, opt_state0)
+
+    history0 = jnp.full((cfg.maxsteps, nbatch), jnp.nan, dtype=dtype)
+    big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
+    prev0 = jnp.full((nbatch,), big, dtype=dtype)
+    best0 = jnp.full((nbatch,), big, dtype=dtype)
+    state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev0, big, best0, params, history0)
+
+    def cond(state):
+        step, _, _, _, delta_max, _, _, _ = state
+        return jnp.logical_and(step < cfg.maxsteps, delta_max >= cfg.tol)
+
+    def body(state):
+        step, params, opt_state, prev, _, best_loss, best_params, history = state
+        losses, new_params, new_opt_state = one_step(params, opt_state)
+        history = history.at[step].set(losses.astype(dtype))
+        delta = jnp.where(step >= 1, jnp.abs(losses - prev), big)
+        delta_max = jnp.max(delta)
+        # per-slice argmin tracking: select along the batch axis
+        is_best = losses < best_loss
+        best_loss = jnp.minimum(losses, best_loss)
+
+        def sel(new, old):
+            bshape = (nbatch,) + (1,) * (new.ndim - 1)
+            return jnp.where(is_best.reshape(bshape), new, old)
+
+        best_params = jax.tree_util.tree_map(sel, new_params, best_params)
+        return (step + 1, new_params, new_opt_state, losses, delta_max, best_loss,
+                best_params, history)
+
+    step, params, _, last, _, best_loss, best_params, history = jax.lax.while_loop(
+        cond, body, state0
+    )
+    out_params = best_params if cfg.use_min else params
+    final = best_loss if cfg.use_min else last
+    if cfg.freeze_model:
+        g_r_o, g_i_o = out_params
+        fg_r_o, fg_i_o = fg_r, fg_i
+    else:
+        g_r_o, g_i_o, fg_r_o, fg_i_o = out_params
+    return BatchedFitResult(g_r_o, g_i_o, fg_r_o, fg_i_o, history, step, final)

@@ -1,0 +1,300 @@
+"""Packing between VisData/CalData containers and dense padded device tensors.
+
+Design (SURVEY.md §7): the reference tensorizes with per-baseline Python
+loops and tf.gather_nd per (time, pol) slice (reference calibration.py:
+104-190, 193-310). Here the ragged fitting-group structure is packed ONCE
+into a few dense, zero-padded chunk tensors with static shapes:
+
+    comps : (ngrps, nbls, nfreqs, nvecs)   basis vectors (nvecs zero-padded)
+    a0/a1 : (ngrps, nbls) int32            antenna indices for gain gathers
+    rows  : (ntimes, ngrps, nbls) int32    blt-row lookup for data extraction
+    conj  : (ngrps, nbls) bool             data row conjugate of canonical ap
+
+Per-(time, pol) extraction then becomes a vectorized numpy fancy-index (one
+host->device upload per poltime, no per-baseline loops), and the hot loop
+sees only static-shape dense tensors that XLA can tile onto the MXU.
+
+Chunking semantics follow reference chunk_fg_comp_dict_by_nbls
+(calibration.py:30-101): fitting groups are bucketed by their total
+baseline count so groups of equal nbl share one dense tensor, padded along
+nvecs to the bucket max (memory traded for dense matmul, the same tradeoff
+the reference documents at calibration.py:140-146).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Dict, List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.polarizations import polstr2num
+
+
+def chunk_fitting_groups(fg_model_comps_dict, use_redundancy=False, grp_size_threshold=5):
+    """Bucket fitting groups by per-group baseline count.
+
+    Reference parity (calibration.py:30-101): when redundancy is not used,
+    fitting groups whose redundant subgroups all have the same (small)
+    size are split into per-position groups so they chunk together.
+
+    Returns dict {(nbl, maxvecs): {fit_grp: comps matrix}}.
+    """
+    fg_model_comps_dict = dict(fg_model_comps_dict)
+    if not use_redundancy:
+        for fit_grp in list(fg_model_comps_dict.keys()):
+            rlens = np.asarray([len(red_grp) for red_grp in fit_grp])
+            if np.allclose(rlens, np.mean(rlens)) and len(rlens) < grp_size_threshold:
+                mat = fg_model_comps_dict.pop(fit_grp)
+                for rednum in range(int(rlens[0])):
+                    new_grp = tuple((red_grp[rednum],) for red_grp in fit_grp)
+                    fg_model_comps_dict[new_grp] = mat
+
+    buckets: Dict[int, List] = {}
+    maxvecs: Dict[int, int] = {}
+    for fit_grp, mat in fg_model_comps_dict.items():
+        nbl = sum(len(red_grp) for red_grp in fit_grp)
+        buckets.setdefault(nbl, []).append(fit_grp)
+        maxvecs[nbl] = max(maxvecs.get(nbl, 0), mat.shape[1])
+
+    return {
+        (nbl, maxvecs[nbl]): {grp: fg_model_comps_dict[grp] for grp in buckets[nbl]}
+        for nbl in buckets
+    }
+
+
+class ChunkArrays(NamedTuple):
+    """Device-resident static tensors for one chunk."""
+
+    comps: Any  # (ngrps, nbls, nfreqs, nvecs)
+    a0: Any  # (ngrps, nbls) int32
+    a1: Any  # (ngrps, nbls) int32
+
+
+class ChunkMeta(NamedTuple):
+    """Host-side bookkeeping for extraction and write-back."""
+
+    fit_grps: List  # fitting-group keys in packing order
+    antpairs: np.ndarray  # (ngrps, nbls, 2) canonical antenna numbers
+    rows: np.ndarray  # (ntimes, ngrps, nbls) int32 blt rows
+    conj: np.ndarray  # (ngrps, nbls) bool
+
+
+class FitSpec:
+    """All static structure for fitting one dataset.
+
+    Built once per calibration run (the reference builds component tensors
+    once at calibration.py:1143 but re-walks Python loops per poltime for
+    data; here both are vectorized)."""
+
+    def __init__(self, visdata, fg_model_comps_dict, ants_map, dtype=np.float32,
+                 use_redundancy=False, grp_size_threshold=5):
+        self.dtype = np.dtype(dtype)
+        self.ants_map = dict(ants_map)
+        self.nants = len(ants_map)
+        self.nfreqs = visdata.Nfreqs
+        self.times = np.unique(visdata.time_array)
+        self.ntimes = len(self.times)
+        self.pols = visdata.get_pols()
+
+        # red_grps for degenerate-renormalization bookkeeping (reference
+        # calibration.py:1119-1122)
+        self.red_grps = [rg for fit_grp in fg_model_comps_dict for rg in fit_grp]
+
+        # blt-row lookup per antpair, sorted by time
+        row_map = {}
+        conj_map = {}
+        pair_rows: Dict[tuple, list] = {}
+        for row, (a1, a2, t) in enumerate(
+            zip(visdata.ant_1_array.tolist(), visdata.ant_2_array.tolist(),
+                visdata.time_array.tolist())
+        ):
+            pair_rows.setdefault((a1, a2), []).append(row)
+        tsort = {}
+        for ap, rows in pair_rows.items():
+            rows = np.asarray(rows)
+            order = np.argsort(visdata.time_array[rows], kind="stable")
+            tsort[ap] = rows[order]
+
+        def lookup(ap):
+            if ap in tsort:
+                return tsort[ap], False
+            if ap[::-1] in tsort:
+                return tsort[ap[::-1]], True
+            raise KeyError(f"antenna pair {ap} not present in data")
+
+        chunked = chunk_fitting_groups(
+            fg_model_comps_dict,
+            use_redundancy=use_redundancy,
+            grp_size_threshold=grp_size_threshold,
+        )
+
+        self.chunks: List[ChunkArrays] = []
+        self.meta: List[ChunkMeta] = []
+        nfreqs = self.nfreqs
+        for (nbls, nvecs), grp_dict in chunked.items():
+            ngrps = len(grp_dict)
+            comps = np.zeros((ngrps, nbls, nfreqs, nvecs), dtype=self.dtype)
+            a0 = np.zeros((ngrps, nbls), dtype=np.int32)
+            a1 = np.zeros((ngrps, nbls), dtype=np.int32)
+            rows = np.zeros((self.ntimes, ngrps, nbls), dtype=np.int32)
+            conj = np.zeros((ngrps, nbls), dtype=bool)
+            antpairs = np.zeros((ngrps, nbls, 2), dtype=np.int64)
+            fit_grps = list(grp_dict.keys())
+            for g, fit_grp in enumerate(fit_grps):
+                mat = np.asarray(grp_dict[fit_grp], dtype=self.dtype)
+                b = 0
+                for rgrpnum, red_grp in enumerate(fit_grp):
+                    block = mat[rgrpnum * nfreqs : (rgrpnum + 1) * nfreqs, :]
+                    for ap in red_grp:
+                        comps[g, b, :, : mat.shape[1]] = block
+                        a0[g, b] = self.ants_map[ap[0]]
+                        a1[g, b] = self.ants_map[ap[1]]
+                        antpairs[g, b] = ap
+                        r, c = lookup(ap)
+                        rows[:, g, b] = r
+                        conj[g, b] = c
+                        b += 1
+            self.chunks.append(
+                ChunkArrays(jnp.asarray(comps), jnp.asarray(a0), jnp.asarray(a1))
+            )
+            self.meta.append(ChunkMeta(fit_grps, antpairs, rows, conj))
+
+    # ------------------------------------------------------------------ #
+    # per-(time, pol) extraction
+    # ------------------------------------------------------------------ #
+    def time_index(self, time):
+        idx = np.nonzero(np.isclose(self.times, time, rtol=0.0, atol=1e-7))[0]
+        if len(idx) == 0:
+            raise KeyError(f"time {time} not in dataset")
+        return int(idx[0])
+
+    def pack_data(
+        self,
+        visdata,
+        polarization,
+        time,
+        data_scale_factor=1.0,
+        weights=None,
+        nsamples_in_weights=False,
+    ):
+        """Extract chunked (data_r, data_i, wgts) for one (time, pol).
+
+        Semantics parity with reference tensorize_data (calibration.py:
+        193-310): conjugation via row orientation, weights =
+        UVFlag.weights x ~flags (x nsamples), normalized to unit total."""
+        tind = self.time_index(time)
+        polnum = polstr2num(polarization, x_orientation=visdata.x_orientation)
+        pind = int(np.nonzero(visdata.polarization_array == polnum)[0][0])
+
+        wrow_map = None
+        wpind = None
+        if weights is not None:
+            wpolnum = polstr2num(polarization, x_orientation=weights.x_orientation)
+            wpind = int(np.nonzero(weights.polarization_array == wpolnum)[0][0])
+            wrow_map = {}
+            for row, (a1, a2, t) in enumerate(
+                zip(
+                    weights.ant_1_array.tolist(),
+                    weights.ant_2_array.tolist(),
+                    weights.time_array.tolist(),
+                )
+            ):
+                if np.isclose(t, time, rtol=0.0, atol=1e-7):
+                    wrow_map[(a1, a2)] = row
+
+        data_r, data_i, wgts = [], [], []
+        wgtsum = 0.0
+        for meta in self.meta:
+            rows = meta.rows[tind]  # (ngrps, nbls)
+            vals = visdata.data_array[rows, 0, :, pind] / data_scale_factor
+            flg = visdata.flag_array[rows, 0, :, pind]
+            nsmp = visdata.nsample_array[rows, 0, :, pind]
+            cj = meta.conj[..., None]
+            dr = vals.real.astype(self.dtype)
+            di = np.where(cj, -vals.imag, vals.imag).astype(self.dtype)
+            if weights is None:
+                w = (~flg).astype(self.dtype)
+            else:
+                w = np.zeros(flg.shape, dtype=self.dtype)
+                ngrps, nbls = rows.shape
+                for g in range(ngrps):
+                    for b in range(nbls):
+                        ap = tuple(meta.antpairs[g, b])
+                        wrow = wrow_map.get(ap, wrow_map.get(ap[::-1]))
+                        if wrow is None:
+                            raise KeyError(f"weights missing antpair {ap}")
+                        w[g, b] = weights.weights_array[wrow, 0, :, wpind]
+                w = w * (~flg)
+            if nsamples_in_weights:
+                w = w * nsmp
+            wgtsum += float(np.sum(w))
+            data_r.append(dr)
+            data_i.append(di)
+            wgts.append(w.astype(self.dtype))
+        wgts = [jnp.asarray(w / wgtsum) for w in wgts]
+        data_r = [jnp.asarray(d) for d in data_r]
+        data_i = [jnp.asarray(d) for d in data_i]
+        return data_r, data_i, wgts
+
+    def pack_gains(self, caldata, polarization, time):
+        """(Nants, Nfreqs) real/imag gain tensors for one (time, pol)
+        (reference tensorize_gains, calibration.py:369-399)."""
+        from ..io.polarizations import polstr2num as _p2n
+
+        polnum = _p2n(polarization, x_orientation=caldata.x_orientation)
+        pind = int(np.nonzero(caldata.jones_array == polnum)[0][0])
+        tind = int(
+            np.nonzero(np.isclose(caldata.time_array, time, rtol=0.0, atol=1e-7))[0][0]
+        )
+        # order gains by ants_map index
+        garr = np.zeros((self.nants, self.nfreqs), dtype=np.complex128)
+        for ant, idx in self.ants_map.items():
+            aind = int(np.nonzero(caldata.ant_array == ant)[0][0])
+            garr[idx] = caldata.gain_array[aind, 0, :, tind, pind]
+        return (
+            jnp.asarray(garr.real.astype(self.dtype)),
+            jnp.asarray(garr.imag.astype(self.dtype)),
+        )
+
+    # ------------------------------------------------------------------ #
+    # write-back
+    # ------------------------------------------------------------------ #
+    def insert_model(self, visdata_model, model_chunks, polarization, time, scale_factor=1.0):
+        """Write per-chunk (vr, vi) foreground model arrays into a VisData.
+
+        Reference parity: yield_fg_model_array + insert_model_into_uvdata_tensor
+        (calibration.py:402-444, 741-795), vectorized: one fancy-indexed
+        store per chunk instead of per-baseline loops."""
+        tind = self.time_index(time)
+        polnum = polstr2num(polarization, x_orientation=visdata_model.x_orientation)
+        pind = int(np.nonzero(visdata_model.polarization_array == polnum)[0][0])
+        for meta, (vr, vi) in zip(self.meta, model_chunks):
+            vr = np.asarray(vr, dtype=np.float64)
+            vi = np.asarray(vi, dtype=np.float64)
+            vals = (vr + 1j * vi) * scale_factor
+            vals = np.where(meta.conj[..., None], np.conj(vals), vals)
+            rows = meta.rows[tind]
+            visdata_model.data_array[rows.reshape(-1), 0, :, pind] = vals.reshape(
+                -1, self.nfreqs
+            )
+
+    def insert_gains(self, caldata, g_r, g_i, polarization, time):
+        """Write fitted gains back into a CalData
+        (reference insert_gains_into_uvcal, calibration.py:798-825)."""
+        from ..io.polarizations import polstr2num as _p2n
+
+        polnum = _p2n(polarization, x_orientation=caldata.x_orientation)
+        pind = int(np.nonzero(caldata.jones_array == polnum)[0][0])
+        tind = int(
+            np.nonzero(np.isclose(caldata.time_array, time, rtol=0.0, atol=1e-7))[0][0]
+        )
+        g = np.asarray(g_r, dtype=np.float64) + 1j * np.asarray(g_i, dtype=np.float64)
+        for ant, idx in self.ants_map.items():
+            aind = int(np.nonzero(caldata.ant_array == ant)[0][0])
+            caldata.gain_array[aind, 0, :, tind, pind] = g[idx]
+
+    def device_chunks(self):
+        """Tuple of (comps, a0, a1) triples for the loss functions."""
+        return tuple((c.comps, c.a0, c.a1) for c in self.chunks)

@@ -9,13 +9,18 @@ solver code is dtype-explicit so f32 paths stay f32.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the driver environment presets a tunneled TPU backend (axon)
+# whose sitecustomize registration overrides JAX_PLATFORMS; pin the platform
+# at the jax-config level before any backend is initialized so unit tests
+# run on the local virtual-device CPU backend
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
