@@ -17,7 +17,8 @@ reference pattern on identical hardware and config).
 
 Config: one chunk of a 350-antenna x 1536-channel HERA fit — 2048 baselines,
 128 DPSS modes, float32 (the chunking the solver uses at full scale; the
-full problem shards chunks like this across the mesh).
+full problem shards chunks like this across the mesh). All inputs are
+generated on device (no host->device payloads in the timing path).
 """
 
 from __future__ import annotations
@@ -25,24 +26,34 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
 
+def _device_inputs(ngrps, nbls, nfreqs, nvecs, nants, dtype):
+    import jax
+    import jax.numpy as jnp
 
-def _inputs(ngrps, nbls, nfreqs, nvecs, nants, dtype, seed=0):
-    rng = np.random.default_rng(seed)
-    comps = rng.standard_normal((ngrps, nbls, nfreqs, nvecs)).astype(dtype)
-    comps /= np.linalg.norm(comps, axis=2, keepdims=True) + 1e-6
-    a0 = rng.integers(0, nants, size=(ngrps, nbls)).astype(np.int32)
-    a1 = rng.integers(0, nants, size=(ngrps, nbls)).astype(np.int32)
-    g_r = np.ones((nants, nfreqs), dtype=dtype)
-    g_i = np.zeros((nants, nfreqs), dtype=dtype)
-    fg_r = rng.standard_normal((ngrps, nvecs)).astype(dtype)
-    fg_i = rng.standard_normal((ngrps, nvecs)).astype(dtype)
-    data_r = rng.standard_normal((ngrps, nbls, nfreqs)).astype(dtype)
-    data_i = rng.standard_normal((ngrps, nbls, nfreqs)).astype(dtype)
-    wgts = np.abs(rng.standard_normal((ngrps, nbls, nfreqs))).astype(dtype)
-    wgts /= wgts.sum()
-    return comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+
+    @jax.jit
+    def build():
+        comps = jax.random.normal(keys[0], (ngrps, nbls, nfreqs, nvecs), dtype)
+        comps = comps / (
+            jnp.linalg.norm(comps, axis=2, keepdims=True) + jnp.asarray(1e-6, dtype)
+        )
+        a0 = jax.random.randint(keys[1], (ngrps, nbls), 0, nants, jnp.int32)
+        a1 = jax.random.randint(keys[2], (ngrps, nbls), 0, nants, jnp.int32)
+        g_r = jnp.ones((nants, nfreqs), dtype)
+        g_i = jnp.zeros((nants, nfreqs), dtype)
+        fg_r = jax.random.normal(keys[3], (ngrps, nvecs), dtype)
+        fg_i = jax.random.normal(keys[4], (ngrps, nvecs), dtype)
+        data_r = jax.random.normal(keys[5], (ngrps, nbls, nfreqs), dtype)
+        data_i = jax.random.normal(keys[6], (ngrps, nbls, nfreqs), dtype)
+        wgts = jnp.abs(jax.random.normal(keys[7], (ngrps, nbls, nfreqs), dtype))
+        wgts = wgts / jnp.sum(wgts)
+        return comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts
+
+    out = build()
+    jax.block_until_ready(out[0])
+    return out
 
 
 def bench_ours(inputs, nsteps, lr=1e-2):
@@ -53,9 +64,7 @@ def bench_ours(inputs, nsteps, lr=1e-2):
 
     from calamity_tpu.ops.loss import chunked_loss
 
-    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = [
-        jnp.asarray(x) for x in inputs
-    ]
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = inputs
     chunks = ((comps, a0, a1),)
     opt = optax.adamax(lr)
 
@@ -78,8 +87,7 @@ def bench_ours(inputs, nsteps, lr=1e-2):
 
     params = (g_r, g_i, fg_r, fg_i)
     opt_state = opt.init(params)
-    # warmup/compile
-    out = run(params, opt_state, 2)
+    out = run(params, opt_state, 2)  # warmup/compile
     jax.block_until_ready(out[2])
     t0 = time.perf_counter()
     out = run(params, opt_state, nsteps)
@@ -97,16 +105,9 @@ def bench_reference_pattern(inputs, nsteps, lr=1e-2):
 
     comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = inputs
     # reference layout: comps (nvecs, ngrps, nbls, nfreqs), coeffs (nvecs, ngrps, 1, 1)
-    comps_t = jnp.asarray(np.moveaxis(comps, -1, 0))
-    fg_r_t = jnp.asarray(fg_r.T[:, :, None, None])
-    fg_i_t = jnp.asarray(fg_i.T[:, :, None, None])
-    g_r = jnp.asarray(g_r)
-    g_i = jnp.asarray(g_i)
-    data_r = jnp.asarray(data_r)
-    data_i = jnp.asarray(data_i)
-    wgts = jnp.asarray(wgts)
-    a0 = jnp.asarray(a0)
-    a1 = jnp.asarray(a1)
+    comps_t = jnp.moveaxis(comps, -1, 0)
+    fg_r_t = jnp.moveaxis(fg_r, -1, 0)[:, :, None, None]
+    fg_i_t = jnp.moveaxis(fg_i, -1, 0)[:, :, None, None]
     opt = optax.adamax(lr)
 
     def loss_fn(params):
@@ -127,9 +128,13 @@ def bench_reference_pattern(inputs, nsteps, lr=1e-2):
             (jnp.square(data_r - model_r) + jnp.square(data_i - model_i)) * wgts
         )
 
-    step = jax.jit(
-        lambda params, opt_state: _ref_step(params, opt_state, loss_fn, opt)
-    )
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return loss, params, opt_state
+
     params = (g_r, g_i, fg_r_t, fg_i_t)
     opt_state = opt.init(params)
     loss, params2, opt_state2 = step(params, opt_state)
@@ -142,30 +147,22 @@ def bench_reference_pattern(inputs, nsteps, lr=1e-2):
     return (t1 - t0) / nsteps * 1e3, float(loss)
 
 
-def _ref_step(params, opt_state, loss_fn, opt):
-    import jax
-    import optax
-
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = opt.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return loss, params, opt_state
-
-
 def main():
     import jax
 
     backend = jax.default_backend()
-    if backend in ("cpu",):
+    if backend == "cpu":
         # scaled-down config so CPU smoke runs finish quickly
         cfg = dict(ngrps=64, nbls=1, nfreqs=256, nvecs=32, nants=32)
         nsteps = 20
     else:
         cfg = dict(ngrps=2048, nbls=1, nfreqs=1536, nvecs=128, nants=352)
         nsteps = 100
-    inputs = _inputs(dtype=np.float32, **cfg)
+    import numpy as np
+
+    inputs = _device_inputs(dtype=jax.numpy.float32, **cfg)
     ours_ms, ours_loss = bench_ours(inputs, nsteps)
-    ref_ms, ref_loss = bench_reference_pattern(inputs, min(nsteps, 50))
+    ref_ms, ref_loss = bench_reference_pattern(inputs, min(nsteps, 30))
     assert np.isfinite(ours_loss) and np.isfinite(ref_loss)
     print(
         json.dumps(

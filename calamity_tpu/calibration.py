@@ -186,6 +186,8 @@ def calibrate_and_model_tensor(
     init_guesses_from_previous_time_step=False,
     skip_threshold=0.5,
     use_model_snr_weights=False,
+    time_parallel=False,
+    mesh=None,
     **opt_kwargs,
 ):
     """Simultaneous gain calibration and foreground fitting.
@@ -196,6 +198,15 @@ def calibrate_and_model_tensor(
     previous time, post-hoc or "sum" regularization — on the TPU solver.
     ``graph_mode`` is accepted for signature parity; compilation is always
     on (jit is the execution model).
+
+    TPU-native extensions beyond the reference:
+    - ``time_parallel=True`` batches every unskipped (time, pol) slice into
+      ONE jit-compiled descent (the reference loops them serially on one
+      device, calibration.py:1160-1320). Incompatible with
+      init_guesses_from_previous_time_step (slices run concurrently).
+    - ``mesh``: a ('data', 'bl') jax.sharding.Mesh (see
+      calamity_tpu.parallel.make_mesh) to shard the batched fit across
+      devices; batch and group axes are zero-padded to mesh multiples.
 
     Returns (model, resid, gains, fit_history).
     """
@@ -239,6 +250,37 @@ def calibrate_and_model_tensor(
     )
     chunks = spec.device_chunks()
     del fg_model_comps_dict
+
+    if time_parallel:
+        if init_guesses_from_previous_time_step:
+            raise ValueError(
+                "time_parallel is incompatible with "
+                "init_guesses_from_previous_time_step (slices run concurrently)"
+            )
+        return _calibrate_time_parallel(
+            uvdata=uvdata,
+            spec=spec,
+            chunks=chunks,
+            gains=gains,
+            sky_model=sky_model,
+            model=model,
+            resid=resid,
+            weights=weights,
+            nsamples_in_weights=nsamples_in_weights,
+            skip_threshold=skip_threshold,
+            use_model_snr_weights=use_model_snr_weights,
+            freeze_model=freeze_model,
+            optimizer=optimizer,
+            tol=tol,
+            maxsteps=maxsteps,
+            use_min=use_min,
+            model_regularization=model_regularization,
+            correct_model=correct_model,
+            correct_resid=correct_resid,
+            mesh=mesh,
+            verbose=verbose,
+            opt_kwargs=opt_kwargs,
+        )
 
     fit_history = {}
     g_r = g_i = fg_r = fg_i = None
@@ -373,6 +415,266 @@ def calibrate_and_model_tensor(
     if correct_resid:
         resid = cal_utils.apply_gains(resid, gains)
 
+    return model, resid, gains, fit_history
+
+
+def _pad_axis(arr, axis, target):
+    """Zero-pad one axis of a numpy/jnp array up to ``target`` length."""
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(arr)
+    if arr.shape[axis] == target:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, target - arr.shape[axis])
+    return jnp.pad(arr, pad)
+
+
+def _calibrate_time_parallel(
+    uvdata,
+    spec,
+    chunks,
+    gains,
+    sky_model,
+    model,
+    resid,
+    weights,
+    nsamples_in_weights,
+    skip_threshold,
+    use_model_snr_weights,
+    freeze_model,
+    optimizer,
+    tol,
+    maxsteps,
+    use_min,
+    model_regularization,
+    correct_model,
+    correct_resid,
+    mesh,
+    verbose,
+    opt_kwargs,
+):
+    """Batched (time x pol) fitting: every unskipped slice in one descent.
+
+    Replaces the reference's serial poltime loop (calibration.py:1160-1320)
+    with a single jit-compiled, optionally mesh-sharded optimization; see
+    calamity_tpu.parallel.batched for the loss/sharding layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from .parallel.batched import batched_fit_core
+    from .solver.fit import FitConfig
+
+    nchunks = len(chunks)
+    slices = []  # (polnum, pol, time_index, time, rms)
+    for polnum, pol in enumerate(uvdata.get_pols()):
+        for time_index, time in enumerate(spec.times):
+            bltsel = np.isclose(uvdata.time_array, time, rtol=0.0, atol=1e-7)
+            frac_unflagged = np.count_nonzero(
+                ~uvdata.flag_array[bltsel, 0, :, polnum]
+            ) / (uvdata.Nbls * uvdata.Nfreqs)
+            if frac_unflagged < skip_threshold:
+                flag_poltime(resid, time=time, polarization=pol)
+                flag_poltime(gains, time=time, polarization=pol)
+                flag_poltime(model, time=time, polarization=pol)
+                continue
+            rms = np.sqrt(
+                np.mean(
+                    np.abs(
+                        uvdata.data_array[bltsel, 0, :, polnum][
+                            ~uvdata.flag_array[bltsel, 0, :, polnum]
+                        ]
+                    )
+                    ** 2.0
+                )
+            )
+            slices.append((polnum, pol, time_index, time, rms))
+
+    fit_history = {polnum: {} for polnum in range(uvdata.Npols)}
+    if not slices:
+        model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
+        if not correct_model:
+            model = model_with_gains
+        resid.data_array -= model_with_gains.data_array
+        resid.data_array[model_with_gains.flag_array] = 0.0
+        resid.data_array[uvdata.flag_array] = 0.0
+        if correct_resid:
+            resid = cal_utils.apply_gains(resid, gains)
+        return model, resid, gains, fit_history
+
+    echo(
+        f"{datetime.datetime.now()} Batched fit over {len(slices)} (time, pol) slices...\n",
+        verbose=verbose,
+    )
+    from .ops.lstsq import init_coeffs_chunk
+
+    per_slice = {"g_r": [], "g_i": [], "fg_r": [[] for _ in range(nchunks)],
+                 "fg_i": [[] for _ in range(nchunks)],
+                 "data_r": [[] for _ in range(nchunks)],
+                 "data_i": [[] for _ in range(nchunks)],
+                 "wgts": [[] for _ in range(nchunks)],
+                 "prior_r": [], "prior_i": []}
+    for polnum, pol, time_index, time, rms in slices:
+        data_r, data_i, wgts = spec.pack_data(
+            uvdata, pol, time, data_scale_factor=rms, weights=weights,
+            nsamples_in_weights=nsamples_in_weights,
+        )
+        if sky_model is not None:
+            sky_r, sky_i, _ = spec.pack_data(
+                sky_model, pol, time, data_scale_factor=rms, weights=weights
+            )
+        else:
+            sky_r, sky_i = data_r, data_i
+        g_r, g_i = spec.pack_gains(gains, pol, time)
+        fg_r = [init_coeffs_chunk(c[0], dr, w) for c, dr, w in zip(chunks, sky_r, wgts)]
+        fg_i = [init_coeffs_chunk(c[0], di, w) for c, di, w in zip(chunks, sky_i, wgts)]
+        if use_model_snr_weights:
+            wmodel = fg_model_all_chunks(tuple(fg_r), tuple(fg_i), chunks)
+            wgts = [
+                (jnp.square(vr) + jnp.square(vi)) * w
+                for (vr, vi), w in zip(wmodel, wgts)
+            ]
+            wsum = sum(float(jnp.sum(w)) for w in wgts)
+            wgts = [w / wsum for w in wgts]
+        pr = sum(float(jnp.sum(sr * w)) for sr, w in zip(sky_r, wgts))
+        pi = sum(float(jnp.sum(si * w)) for si, w in zip(sky_i, wgts))
+        per_slice["g_r"].append(g_r)
+        per_slice["g_i"].append(g_i)
+        per_slice["prior_r"].append(pr)
+        per_slice["prior_i"].append(pi)
+        for cnum in range(nchunks):
+            per_slice["fg_r"][cnum].append(fg_r[cnum])
+            per_slice["fg_i"][cnum].append(fg_i[cnum])
+            per_slice["data_r"][cnum].append(data_r[cnum])
+            per_slice["data_i"][cnum].append(data_i[cnum])
+            per_slice["wgts"][cnum].append(wgts[cnum])
+
+    nbatch_real = len(slices)
+    n_data = mesh.shape["data"] if mesh is not None else 1
+    n_bl = mesh.shape["bl"] if mesh is not None else 1
+    nbatch = -(-nbatch_real // n_data) * n_data
+
+    def stack(items, pad_to=None, axis_pad=None):
+        out = jnp.stack([jnp.asarray(x) for x in items])
+        if out.shape[0] < nbatch:
+            # zero-weight dummy slices: repeat structure, contribute nothing
+            reps = jnp.repeat(out[-1:], nbatch - out.shape[0], axis=0)
+            out = jnp.concatenate([out, reps], axis=0)
+        return out
+
+    g_r_b = stack(per_slice["g_r"])
+    g_i_b = stack(per_slice["g_i"])
+    prior_r_b = jnp.asarray(
+        np.pad(np.asarray(per_slice["prior_r"], dtype=spec.dtype),
+               (0, nbatch - nbatch_real))
+    )
+    prior_i_b = jnp.asarray(
+        np.pad(np.asarray(per_slice["prior_i"], dtype=spec.dtype),
+               (0, nbatch - nbatch_real))
+    )
+    fg_r_b, fg_i_b, data_r_b, data_i_b, wgts_b = [], [], [], [], []
+    fit_chunks = []
+    for cnum in range(nchunks):
+        comps, a0, a1 = chunks[cnum]
+        ngrps = comps.shape[0]
+        ngrps_pad = -(-ngrps // n_bl) * n_bl
+        fit_chunks.append(
+            (
+                _pad_axis(comps, 0, ngrps_pad),
+                _pad_axis(a0, 0, ngrps_pad),
+                _pad_axis(a1, 0, ngrps_pad),
+            )
+        )
+        fg_r_b.append(_pad_axis(stack(per_slice["fg_r"][cnum]), 1, ngrps_pad))
+        fg_i_b.append(_pad_axis(stack(per_slice["fg_i"][cnum]), 1, ngrps_pad))
+        data_r_b.append(_pad_axis(stack(per_slice["data_r"][cnum]), 1, ngrps_pad))
+        data_i_b.append(_pad_axis(stack(per_slice["data_i"][cnum]), 1, ngrps_pad))
+        w = _pad_axis(stack(per_slice["wgts"][cnum]), 1, ngrps_pad)
+        # zero the weights of dummy batch rows so they contribute no loss
+        if nbatch > nbatch_real:
+            mask = jnp.arange(nbatch) < nbatch_real
+            w = w * mask[:, None, None, None].astype(w.dtype)
+        wgts_b.append(w)
+
+    if mesh is not None:
+        from .parallel.mesh import fit_shardings
+
+        sh = fit_shardings(mesh)
+        g_r_b = jax.device_put(g_r_b, sh["gains"])
+        g_i_b = jax.device_put(g_i_b, sh["gains"])
+        fit_chunks = tuple(
+            (
+                jax.device_put(c, sh["comps"]),
+                jax.device_put(a0, sh["ants"]),
+                jax.device_put(a1, sh["ants"]),
+            )
+            for c, a0, a1 in fit_chunks
+        )
+        fg_r_b = [jax.device_put(x, sh["coeffs"]) for x in fg_r_b]
+        fg_i_b = [jax.device_put(x, sh["coeffs"]) for x in fg_i_b]
+        data_r_b = [jax.device_put(x, sh["data"]) for x in data_r_b]
+        data_i_b = [jax.device_put(x, sh["data"]) for x in data_i_b]
+        wgts_b = [jax.device_put(x, sh["data"]) for x in wgts_b]
+    else:
+        fit_chunks = tuple(fit_chunks)
+
+    cfg = FitConfig(
+        optimizer=optimizer,
+        opt_kwargs=tuple(sorted(opt_kwargs.items())),
+        maxsteps=int(maxsteps),
+        tol=float(tol),
+        use_min=bool(use_min),
+        freeze_model=bool(freeze_model),
+        regularization="sum" if model_regularization == "sum" else None,
+    )
+    result = batched_fit_core(
+        cfg, fit_chunks, tuple(data_r_b), tuple(data_i_b), tuple(wgts_b),
+        g_r_b, g_i_b, tuple(fg_r_b), tuple(fg_i_b), prior_r_b, prior_i_b,
+    )
+    nsteps = int(result.nsteps)
+    history = np.asarray(result.loss_history[:nsteps], dtype=np.float64)  # (nsteps, nbatch)
+    g_r_out = np.asarray(result.g_r)
+    g_i_out = np.asarray(result.g_i)
+    fg_r_out = [np.asarray(x) for x in result.fg_r]
+    fg_i_out = [np.asarray(x) for x in result.fg_i]
+
+    for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
+        fit_history[polnum][time_index] = {"loss": history[:, b].tolist()}
+        fg_r_s = tuple(
+            jnp.asarray(fg_r_out[cnum][b, : chunks[cnum][0].shape[0]])
+            for cnum in range(nchunks)
+        )
+        fg_i_s = tuple(
+            jnp.asarray(fg_i_out[cnum][b, : chunks[cnum][0].shape[0]])
+            for cnum in range(nchunks)
+        )
+        spec.insert_model(
+            model, fg_model_all_chunks(fg_r_s, fg_i_s, chunks), pol, time, rms
+        )
+        spec.insert_gains(gains, g_r_out[b], g_i_out[b], pol, time)
+        bltsel = np.isclose(uvdata.time_array, time, rtol=0.0, atol=1e-7)
+        if (
+            not freeze_model
+            and model_regularization == "post_hoc"
+            and np.any(~model.flag_array[bltsel])
+        ):
+            renormalize(
+                uvdata_reference_model=sky_model,
+                uvdata_deconv=model,
+                gains=gains,
+                polarization=pol,
+                time=time,
+                additional_flags=uvdata.flag_array,
+            )
+
+    model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
+    if not correct_model:
+        model = model_with_gains
+    resid.data_array -= model_with_gains.data_array
+    resid.data_array[model_with_gains.flag_array] = 0.0
+    resid.data_array[uvdata.flag_array] = 0.0
+    if correct_resid:
+        resid = cal_utils.apply_gains(resid, gains)
     return model, resid, gains, fit_history
 
 

@@ -51,6 +51,31 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts):
     return total
 
 
+def batched_chunk_losses_sum_regularized(
+    g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, prior_r, prior_i
+):
+    """Per-batch-element chi-square + "sum" flux prior (reference
+    mse_chunked_sum_regularized, calibration.py:1623-1656), one prior pair
+    per batch element. Shape (nbatch,)."""
+
+    def one(gr, gi, fr_all, fi_all, dr_all, di_all, w_all, pr, pi):
+        total = 0.0
+        mr_sum = 0.0
+        mi_sum = 0.0
+        for cnum, (comps, a0, a1) in enumerate(chunks):
+            model_r, model_i = data_model(
+                gr, gi, fr_all[cnum], fi_all[cnum], comps, a0, a1
+            )
+            mr_sum = mr_sum + jnp.sum(model_r * w_all[cnum])
+            mi_sum = mi_sum + jnp.sum(model_i * w_all[cnum])
+            total = total + mse(model_r, model_i, dr_all[cnum], di_all[cnum], w_all[cnum])
+        return total + jnp.square(mr_sum - pr) + jnp.square(mi_sum - pi)
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        g_r, g_i, fg_r, fg_i, data_r, data_i, wgts, prior_r, prior_i
+    )
+
+
 class BatchedFitResult(NamedTuple):
     g_r: Any
     g_i: Any
@@ -62,28 +87,34 @@ class BatchedFitResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(0,))
-def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i):
+def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
+                     prior_r=None, prior_i=None):
     """Whole-batch descent in one jit (see solver.fit._fit_core for the
     single-slice variant and the reference-parity notes)."""
     opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
     dtype = g_r.dtype
     nbatch = g_r.shape[0]
 
+    if cfg.regularization == "sum":
+        def raw_losses(gr, gi, fr, fi):
+            return batched_chunk_losses_sum_regularized(
+                gr, gi, fr, fi, chunks, data_r, data_i, wgts, prior_r, prior_i
+            )
+    else:
+        def raw_losses(gr, gi, fr, fi):
+            return batched_chunk_losses(gr, gi, fr, fi, chunks, data_r, data_i, wgts)
+
     if cfg.freeze_model:
         params0 = (g_r, g_i)
 
         def losses_fn(params):
-            return batched_chunk_losses(
-                params[0], params[1], fg_r, fg_i, chunks, data_r, data_i, wgts
-            )
+            return raw_losses(params[0], params[1], fg_r, fg_i)
 
     else:
         params0 = (g_r, g_i, fg_r, fg_i)
 
         def losses_fn(params):
-            return batched_chunk_losses(
-                params[0], params[1], params[2], params[3], chunks, data_r, data_i, wgts
-            )
+            return raw_losses(params[0], params[1], params[2], params[3])
 
     def total_loss(params):
         losses = losses_fn(params)

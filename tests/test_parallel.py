@@ -1,0 +1,129 @@
+"""Tests for the batched/sharded time-parallel path and mesh utilities."""
+
+import jax
+import numpy as np
+import pytest
+
+from calamity_tpu import cal_utils, calibration, models, parallel
+from tests.test_calibration import RMS, project_onto_dpss
+
+
+@pytest.fixture()
+def projected_multitime(golomb_visdata):
+    uvd = golomb_visdata.copy()
+    comps = models.yield_pbl_dpss_model_comps(uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3)
+    project_onto_dpss(uvd, comps)
+    uvd2 = uvd.copy()
+    uvd2.time_array = uvd2.time_array + 2.0
+    uvd3 = uvd.copy()
+    uvd3.time_array = uvd3.time_array + 4.0
+    return (uvd + uvd2) + uvd3
+
+
+def test_make_mesh():
+    mesh = parallel.make_mesh()
+    assert mesh.axis_names == ("data", "bl")
+    assert mesh.shape["data"] * mesh.shape["bl"] == len(jax.devices())
+    mesh2 = parallel.make_mesh(n_data=2, n_bl=4)
+    assert mesh2.shape["data"] == 2 and mesh2.shape["bl"] == 4
+    with pytest.raises(ValueError):
+        parallel.make_mesh(n_data=3, n_bl=5)
+
+
+def test_time_parallel_matches_serial(projected_multitime):
+    """Batched descent converges all 3 times at once; products match the
+    serial path's quality."""
+    gains0 = cal_utils.blank_uvcal_from_uvdata(projected_multitime)
+    common = dict(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        maxsteps=2000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+    )
+    model_s, resid_s, gains_s, hist_s = calibration.calibrate_and_model_dpss(
+        gains=gains0, **common
+    )
+    model_p, resid_p, gains_p, hist_p = calibration.calibrate_and_model_dpss(
+        gains=gains0, time_parallel=True, **common
+    )
+    assert RMS(model_p.data_array) >= 1e2 * RMS(resid_p.data_array)
+    assert len(hist_p[0]) == 3
+    # batched and serial converge to comparable residual levels
+    assert RMS(resid_p.data_array) <= 10 * max(RMS(resid_s.data_array), 1e-12)
+
+
+def test_time_parallel_sharded(projected_multitime):
+    """Full batched fit sharded over an 8-device ('data','bl') mesh, with
+    batch (3 -> 4) and group (15 -> 16) padding exercised."""
+    mesh = parallel.make_mesh(n_data=2, n_bl=4)
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        gains=None,
+        maxsteps=2000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        mesh=mesh,
+    )
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    assert RMS(projected_multitime.data_array) >= 1e2 * RMS(resid.data_array)
+    assert len(hist[0]) == 3
+    assert np.all(np.isfinite(gains.gain_array))
+
+
+def test_time_parallel_sum_regularized(projected_multitime):
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        gains=None,
+        maxsteps=2000,
+        tol=1e-10,
+        correct_resid=False,
+        correct_model=False,
+        model_regularization="sum",
+        time_parallel=True,
+    )
+    resid = cal_utils.apply_gains(resid, gains)
+    model = cal_utils.apply_gains(model, gains)
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+
+
+def test_time_parallel_skip_flagged(projected_multitime):
+    uvd = projected_multitime.copy()
+    t0 = np.unique(uvd.time_array)[0]
+    uvd.flag_array[np.isclose(uvd.time_array, t0, rtol=0, atol=1e-7)] = True
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=uvd,
+        gains=None,
+        maxsteps=1000,
+        tol=1e-10,
+        time_parallel=True,
+        model_regularization="post_hoc",
+    )
+    assert 0 not in hist[0]
+    assert 1 in hist[0] and 2 in hist[0]
+    for ap in model.get_antpairs():
+        assert np.all(model.get_flags(ap + ("xx",))[0])
+
+
+def test_time_parallel_rejects_warm_start(projected_multitime):
+    with pytest.raises(ValueError):
+        calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3,
+            offset=2.0 / 0.3,
+            uvdata=projected_multitime,
+            gains=None,
+            time_parallel=True,
+            init_guesses_from_previous_time_step=True,
+        )
