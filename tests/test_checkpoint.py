@@ -1,0 +1,72 @@
+"""Tests for mid-fit checkpoint/resume (solver.checkpoint)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from calamity_tpu import cal_utils, calibration, models
+from calamity_tpu.solver import checkpoint as ckpt_mod
+from tests.test_calibration import RMS, project_onto_dpss
+
+
+@pytest.fixture()
+def projected(golomb_visdata):
+    uvd = golomb_visdata.copy()
+    comps = models.yield_pbl_dpss_model_comps(uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3)
+    return project_onto_dpss(uvd, comps)
+
+
+def _run(uvd, ckdir, maxsteps, resume=True):
+    return calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=uvd,
+        gains=None,
+        maxsteps=maxsteps,
+        tol=0.0,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        checkpoint_dir=ckdir,
+        checkpoint_every=50,
+        resume=resume,
+    )
+
+
+def test_checkpoints_written_and_fit_converges(tmp_path, projected):
+    ckdir = str(tmp_path / "ck")
+    model, resid, gains, hist = _run(projected, ckdir, maxsteps=150)
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    poltime_dir = os.path.join(ckdir, "pol0_t0")
+    assert ckpt_mod.latest_checkpoint(poltime_dir) is not None
+    steps = sorted(
+        int(n.split("_")[1]) for n in os.listdir(poltime_dir) if n.startswith("step_")
+    )
+    assert steps == [50, 100, 150]
+    assert len(hist[0][0]["loss"]) == 150
+
+
+def test_resume_continues_descent(tmp_path, projected):
+    """Interrupted run + resume reproduces the uninterrupted trajectory."""
+    ck_a = str(tmp_path / "a")
+    ck_b = str(tmp_path / "b")
+    # uninterrupted: 120 steps
+    model_a, resid_a, gains_a, hist_a = _run(projected, ck_a, maxsteps=120)
+    # interrupted at 60, then resumed to 120
+    _run(projected, ck_b, maxsteps=60)
+    model_b, resid_b, gains_b, hist_b = _run(projected, ck_b, maxsteps=120)
+    la = np.asarray(hist_a[0][0]["loss"])
+    lb = np.asarray(hist_b[0][0]["loss"])
+    assert len(lb) == 120
+    # resumed history continues the first run's losses
+    assert np.allclose(la[:60], lb[:60], rtol=1e-5)
+    assert np.allclose(la[60:], lb[60:], rtol=1e-3, atol=1e-10)
+    assert np.allclose(gains_a.gain_array, gains_b.gain_array, atol=1e-5)
+
+
+def test_fresh_run_ignores_checkpoints_when_resume_false(tmp_path, projected):
+    ckdir = str(tmp_path / "c")
+    _run(projected, ckdir, maxsteps=60)
+    model, resid, gains, hist = _run(projected, ckdir, maxsteps=60, resume=False)
+    assert len(hist[0][0]["loss"]) == 60
