@@ -28,26 +28,35 @@ import time
 
 
 def _device_inputs(ngrps, nbls, nfreqs, nvecs, nants, dtype):
+    """Deterministic pseudo-random inputs generated on device.
+
+    Uses sin-of-linear-index synthesis instead of jax.random: PRNG programs
+    compile slowly through remote-compile tunnels and benchmark inputs only
+    need decorrelated values, not cryptographic randomness."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    def synth(shape, phase):
+        n = int(np.prod(shape))
+        return jnp.sin(jnp.arange(n, dtype=dtype) * dtype(0.9310) + dtype(phase)).reshape(shape)
 
     @jax.jit
     def build():
-        comps = jax.random.normal(keys[0], (ngrps, nbls, nfreqs, nvecs), dtype)
+        comps = synth((ngrps, nbls, nfreqs, nvecs), 0.1)
         comps = comps / (
             jnp.linalg.norm(comps, axis=2, keepdims=True) + jnp.asarray(1e-6, dtype)
         )
-        a0 = jax.random.randint(keys[1], (ngrps, nbls), 0, nants, jnp.int32)
-        a1 = jax.random.randint(keys[2], (ngrps, nbls), 0, nants, jnp.int32)
+        idx = jnp.arange(ngrps * nbls, dtype=jnp.int32).reshape(ngrps, nbls)
+        a0 = (idx * 7919) % nants
+        a1 = (idx * 104729 + 1) % nants
         g_r = jnp.ones((nants, nfreqs), dtype)
         g_i = jnp.zeros((nants, nfreqs), dtype)
-        fg_r = jax.random.normal(keys[3], (ngrps, nvecs), dtype)
-        fg_i = jax.random.normal(keys[4], (ngrps, nvecs), dtype)
-        data_r = jax.random.normal(keys[5], (ngrps, nbls, nfreqs), dtype)
-        data_i = jax.random.normal(keys[6], (ngrps, nbls, nfreqs), dtype)
-        wgts = jnp.abs(jax.random.normal(keys[7], (ngrps, nbls, nfreqs), dtype))
+        fg_r = synth((ngrps, nvecs), 1.2)
+        fg_i = synth((ngrps, nvecs), 2.3)
+        data_r = synth((ngrps, nbls, nfreqs), 3.4)
+        data_i = synth((ngrps, nbls, nfreqs), 4.5)
+        wgts = jnp.abs(synth((ngrps, nbls, nfreqs), 5.6))
         wgts = wgts / jnp.sum(wgts)
         return comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts
 

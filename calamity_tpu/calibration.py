@@ -191,6 +191,7 @@ def calibrate_and_model_tensor(
     checkpoint_dir=None,
     checkpoint_every=1000,
     resume=True,
+    use_pallas=False,
     **opt_kwargs,
 ):
     """Simultaneous gain calibration and foreground fitting.
@@ -395,6 +396,7 @@ def calibrate_and_model_tensor(
                 ),
                 checkpoint_every=checkpoint_every,
                 resume=resume,
+                use_pallas=use_pallas,
                 **opt_kwargs,
             )
             spec.insert_model(
@@ -925,15 +927,21 @@ def read_calibrate_and_model_dpss(
         **calibration_kwargs,
     )
 
+    from .version import history_string
+
+    provenance = history_string()
     if resid_outfilename is not None:
+        resid_fit.history = (resid_fit.history or "") + provenance
         resid_fit.write_uvh5(resid_outfilename, clobber=clobber)
     if gain_outfilename is not None:
         gains_fit.x_orientation = x_orientation
+        gains_fit.history = (gains_fit.history or "") + provenance
         if gain_outfilename.endswith(".calh5"):
             gains_fit.write_calh5(gain_outfilename, clobber=clobber)
         else:
             gains_fit.write_calfits(gain_outfilename, clobber=clobber)
     if model_outfilename is not None:
+        model_fit.history = (model_fit.history or "") + provenance
         model_fit.write_uvh5(model_outfilename, clobber=clobber)
 
     fit_info = {"fit_history": fit_info} if not isinstance(fit_info, dict) else fit_info

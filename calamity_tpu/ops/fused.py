@@ -1,0 +1,221 @@
+"""Fused Pallas kernel for the calibration forward model + chi-square loss.
+
+This is the north-star hot path (SURVEY.md §3.2, BASELINE.json): per chunk,
+
+    v      = comps @ coeffs            (basis matvec, MXU)
+    model  = (g_i conj g_j) * v        (complex product in real arithmetic)
+    loss  += sum(w * |data - model|^2) (weighted reduction)
+
+XLA executes this as a matmul + several elementwise/reduce kernels with the
+intermediates round-tripping HBM. The Pallas version streams one tile of
+``comps`` (by far the largest operand) through VMEM exactly ONCE per pass:
+the forward kernel produces the per-tile loss partials and the foreground
+visibilities v in the same read, and the backward kernel produces both
+coefficient cotangents and the gain-product cotangents in one more read.
+Per descent step the dominant HBM traffic is therefore 2x the comps bytes —
+the information-theoretic minimum for a first-order method.
+
+The gain gather g[a0], g[a1] -> (pr, pi) is pre-computed outside the kernel
+(gains are (Nants, Nfreqs), tiny and replicated; XLA handles the gather and
+its scatter-add transpose well). The kernel covers the B=1 per-baseline
+layout (the default calibration path); other shapes fall back to the XLA
+implementation in ops.loss.
+
+Layout notes (see /opt/skills/guides/pallas_guide.md): last dims F and V
+should be multiples of 128 for clean tiling; `fused_loss_applicable` gates
+usage accordingly, and non-conforming problems use the XLA path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=10 * 2**20):
+    """Largest group-tile in {16,8,4,2,1} dividing ngrps that fits VMEM."""
+    for tg in (16, 8, 4, 2, 1):
+        if ngrps % tg:
+            continue
+        # comps tile + v tile + 5 (TG,F) buffers + coeffs
+        need = tg * nfreqs * nvecs * dtype_bytes + 7 * tg * nfreqs * dtype_bytes
+        if need <= vmem_budget:
+            return tg
+    return 1
+
+
+def fused_loss_applicable(comps):
+    """Whether the fused kernel supports this chunk's shape/platform."""
+    if jax.default_backend() not in ("tpu", "cpu"):  # cpu -> interpret mode
+        return False
+    ngrps, nbls, nfreqs, nvecs = comps.shape
+    return (
+        nbls == 1
+        and comps.dtype == jnp.float32
+        and nfreqs % 128 == 0
+        and nvecs % 128 == 0
+    )
+
+
+def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
+                loss_ref, v_ref):
+    """One group-tile: loss partial + foreground visibilities.
+
+    comps_ref: (TG, F, V); coeffs_ref: (2, TG, V); pr/pi/dr/di/w: (TG, F)
+    loss_ref: (1, 1); v_ref: (2, TG, F)
+    """
+    tg = comps_ref.shape[0]
+    acc = jnp.zeros((), jnp.float32)
+    for g in range(tg):  # static unroll over the tile
+        cmat = comps_ref[g]  # (F, V)
+        cf = coeffs_ref[:, g, :]  # (2, V)
+        v = jax.lax.dot_general(
+            cmat, cf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (F, 2)
+        vr = v[:, 0]
+        vi = v[:, 1]
+        v_ref[0, g, :] = vr
+        v_ref[1, g, :] = vi
+        pr = pr_ref[g, :]
+        pi = pi_ref[g, :]
+        mr = pr * vr + pi * vi
+        mi = -pi * vr + pr * vi
+        er = dr_ref[g, :] - mr
+        ei = di_ref[g, :] - mi
+        acc = acc + jnp.sum(w_ref[g, :] * (er * er + ei * ei))
+    loss_ref[0, 0] = acc
+
+
+def _bwd_kernel(comps_ref, v_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref, gbar_ref,
+                dcoeffs_ref, dpr_ref, dpi_ref):
+    """Backward tile: coefficient + gain-product cotangents in one comps read."""
+    tg = comps_ref.shape[0]
+    gbar = gbar_ref[0, 0]
+    for g in range(tg):
+        vr = v_ref[0, g, :]
+        vi = v_ref[1, g, :]
+        pr = pr_ref[g, :]
+        pi = pi_ref[g, :]
+        w = w_ref[g, :]
+        mr = pr * vr + pi * vi
+        mi = -pi * vr + pr * vi
+        dmr = (-2.0 * gbar) * w * (dr_ref[g, :] - mr)
+        dmi = (-2.0 * gbar) * w * (di_ref[g, :] - mi)
+        dvr = pr * dmr - pi * dmi
+        dvi = pi * dmr + pr * dmi
+        dv = jnp.stack([dvr, dvi], axis=0)  # (2, F)
+        dcoeffs_ref[:, g, :] = jax.lax.dot_general(
+            dv, comps_ref[g],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2, V)
+        dpr_ref[g, :] = vr * dmr + vi * dmi
+        dpi_ref[g, :] = vi * dmr - vr * dmi
+
+
+def _interpret():
+    return jax.default_backend() == "cpu"
+
+
+def _fwd_call(coeffs2, pr, pi, comps3, dr, di, w):
+    ngrps, nfreqs, nvecs = comps3.shape
+    tg = _pick_tile(ngrps, nfreqs, nvecs)
+    grid = (ngrps // tg,)
+    loss_parts, v = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tg, nfreqs, nvecs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tg, nvecs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tg, nfreqs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((grid[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((2, ngrps, nfreqs), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(comps3, coeffs2, pr, pi, dr, di, w)
+    return jnp.sum(loss_parts), v
+
+
+def _bwd_call(v, pr, pi, comps3, dr, di, w, gbar):
+    ngrps, nfreqs, nvecs = comps3.shape
+    tg = _pick_tile(ngrps, nfreqs, nvecs)
+    grid = (ngrps // tg,)
+    gbar_arr = jnp.asarray(gbar, jnp.float32).reshape(1, 1)
+    dcoeffs, dpr, dpi = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tg, nfreqs, nvecs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tg, nfreqs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, tg, nvecs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, ngrps, nvecs), jnp.float32),
+            jax.ShapeDtypeStruct((ngrps, nfreqs), jnp.float32),
+            jax.ShapeDtypeStruct((ngrps, nfreqs), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(comps3, v, pr, pi, dr, di, w, gbar_arr)
+    return dcoeffs, dpr, dpi
+
+
+@jax.custom_vjp
+def fused_chunk_loss(coeffs2, pr, pi, comps3, dr, di, w):
+    """Fused weighted chi-square of one B=1 chunk.
+
+    coeffs2: (2, ngrps, nvecs) stacked (real, imag) coefficients
+    pr, pi:  (ngrps, nfreqs) Re / -Im of g_i conj(g_j) per baseline
+    comps3:  (ngrps, nfreqs, nvecs)
+    dr, di, w: (ngrps, nfreqs)
+    """
+    loss, _ = _fwd_call(coeffs2, pr, pi, comps3, dr, di, w)
+    return loss
+
+
+def _fused_fwd(coeffs2, pr, pi, comps3, dr, di, w):
+    loss, v = _fwd_call(coeffs2, pr, pi, comps3, dr, di, w)
+    return loss, (v, pr, pi, comps3, dr, di, w)
+
+
+def _fused_bwd(res, gbar):
+    v, pr, pi, comps3, dr, di, w = res
+    dcoeffs, dpr, dpi = _bwd_call(v, pr, pi, comps3, dr, di, w, gbar)
+    # comps/data/weights are never differentiated parameters; the zero
+    # cotangents are DCE'd by XLA
+    return (
+        dcoeffs,
+        dpr,
+        dpi,
+        jnp.zeros_like(comps3),
+        jnp.zeros_like(dr),
+        jnp.zeros_like(di),
+        jnp.zeros_like(w),
+    )
+
+
+fused_chunk_loss.defvjp(_fused_fwd, _fused_bwd)

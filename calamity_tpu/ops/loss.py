@@ -30,19 +30,23 @@ def fg_model(coeffs_r, coeffs_i, comps, precision=jax.lax.Precision.HIGHEST):
     comps: (ngrps, nbls, nfreqs, nvecs); coeffs: (ngrps, nvecs)
     returns (vr, vi) each (ngrps, nbls, nfreqs).
 
+    The real and imaginary coefficient vectors are stacked into ONE
+    contraction so the dominant HBM traffic — reading comps, by far the
+    largest tensor — happens once per evaluation instead of twice, in both
+    the forward pass and its transpose (the coefficient-gradient
+    contraction). The step is HBM-bound at scale, so this halves the
+    per-step memory traffic.
+
     precision: on TPU, float32 einsums default to one bfloat16 MXU pass
     (~1e-2 relative error), which poisons the convergence floor of the
     chi-square fit. HIGHEST keeps full f32 accuracy; the basis matvec is
     still MXU work, just multi-pass."""
-    vr = jnp.einsum(
-        "gbfv,gv->gbf", comps, coeffs_r,
+    coeffs = jnp.stack([coeffs_r, coeffs_i], axis=0)  # (2, ngrps, nvecs)
+    v = jnp.einsum(
+        "gbfv,kgv->kgbf", comps, coeffs,
         preferred_element_type=comps.dtype, precision=precision,
     )
-    vi = jnp.einsum(
-        "gbfv,gv->gbf", comps, coeffs_i,
-        preferred_element_type=comps.dtype, precision=precision,
-    )
-    return vr, vi
+    return v[0], v[1]
 
 
 def gain_products(g_r, g_i, a0, a1):
@@ -75,13 +79,31 @@ def mse(model_r, model_i, data_r, data_i, wgts):
     return jnp.sum((jnp.square(data_r - model_r) + jnp.square(data_i - model_i)) * wgts)
 
 
-def chunked_loss(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts):
+def chunked_loss(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, use_pallas=False):
     """Sum of per-chunk weighted chi-square (reference mse_chunked, calibration.py:1612-1620).
 
     chunks: tuple of (comps, a0, a1) triples; fg_r/fg_i/data_*/wgts: matching tuples.
+    With ``use_pallas`` and a conforming chunk shape, the forward+loss is the
+    fused Pallas kernel (ops.fused) — one streaming pass over comps.
     """
     total = jnp.zeros((), dtype=g_r.dtype)
     for cnum, (comps, a0, a1) in enumerate(chunks):
+        if use_pallas:
+            from .fused import fused_chunk_loss, fused_loss_applicable
+
+            if fused_loss_applicable(comps):
+                pr, pi = gain_products(g_r, g_i, a0, a1)  # (ngrps, 1, nfreqs)
+                coeffs2 = jnp.stack([fg_r[cnum], fg_i[cnum]], axis=0)
+                total = total + fused_chunk_loss(
+                    coeffs2,
+                    pr[:, 0],
+                    pi[:, 0],
+                    comps[:, 0],
+                    data_r[cnum][:, 0],
+                    data_i[cnum][:, 0],
+                    wgts[cnum][:, 0],
+                )
+                continue
         model_r, model_i = data_model(g_r, g_i, fg_r[cnum], fg_i[cnum], comps, a0, a1)
         total = total + mse(model_r, model_i, data_r[cnum], data_i[cnum], wgts[cnum])
     return total

@@ -44,6 +44,7 @@ class FitConfig(NamedTuple):
     use_min: bool = False
     freeze_model: bool = False
     regularization: Optional[str] = None
+    use_pallas: bool = False
 
 
 class FitResult(NamedTuple):
@@ -76,7 +77,8 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
                     gr, gi, fg_r, fg_i, chunks, data_r, data_i, wgts,
                     prior_r_sum, prior_i_sum,
                 )
-            return chunked_loss(gr, gi, fg_r, fg_i, chunks, data_r, data_i, wgts)
+            return chunked_loss(gr, gi, fg_r, fg_i, chunks, data_r, data_i, wgts,
+                                use_pallas=cfg.use_pallas)
 
     else:
         params0 = (g_r, g_i, fg_r, fg_i)
@@ -88,7 +90,8 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
                     gr, gi, fr, fi, chunks, data_r, data_i, wgts,
                     prior_r_sum, prior_i_sum,
                 )
-            return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts)
+            return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
+                                use_pallas=cfg.use_pallas)
 
     vg = jax.value_and_grad(loss_fn)
     opt_state0 = opt.init(params0)
@@ -173,7 +176,8 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
                     gr, gi, fg_r_const, fg_i_const, chunks, data_r, data_i, wgts,
                     prior_r_sum, prior_i_sum,
                 )
-            return chunked_loss(gr, gi, fg_r_const, fg_i_const, chunks, data_r, data_i, wgts)
+            return chunked_loss(gr, gi, fg_r_const, fg_i_const, chunks, data_r,
+                                data_i, wgts, use_pallas=cfg.use_pallas)
     else:
         def loss_fn(p):
             gr, gi, fr, fi = p
@@ -182,7 +186,8 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
                     gr, gi, fr, fi, chunks, data_r, data_i, wgts,
                     prior_r_sum, prior_i_sum,
                 )
-            return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts)
+            return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
+                                use_pallas=cfg.use_pallas)
 
     vg = jax.value_and_grad(loss_fn)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
@@ -330,6 +335,7 @@ def fit_gains_and_foregrounds(
     checkpoint_dir=None,
     checkpoint_every=1000,
     resume=True,
+    use_pallas=False,
     **opt_kwargs,
 ):
     """Run the gradient-descent fit for one (time, pol) slice.
@@ -355,6 +361,7 @@ def fit_gains_and_foregrounds(
         use_min=bool(use_min),
         freeze_model=bool(freeze_model),
         regularization=regularization,
+        use_pallas=bool(use_pallas),
     )
 
     fg_r = tuple(fg_r)

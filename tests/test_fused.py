@@ -1,0 +1,100 @@
+"""Fused Pallas kernel vs XLA reference implementation (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from calamity_tpu.ops import loss as loss_ops
+from calamity_tpu.ops.fused import fused_loss_applicable
+
+NG, NB, NF, NV, NA = 12, 1, 256, 128, 8
+
+
+@pytest.fixture()
+def chunk_inputs():
+    rng = np.random.default_rng(0)
+    comps = rng.standard_normal((NG, NB, NF, NV)).astype(np.float32)
+    comps /= np.linalg.norm(comps, axis=2, keepdims=True)
+    a0 = rng.integers(0, NA, (NG, NB)).astype(np.int32)
+    a1 = rng.integers(0, NA, (NG, NB)).astype(np.int32)
+    g_r = (1 + 0.1 * rng.standard_normal((NA, NF))).astype(np.float32)
+    g_i = (0.1 * rng.standard_normal((NA, NF))).astype(np.float32)
+    fg_r = rng.standard_normal((NG, NV)).astype(np.float32)
+    fg_i = rng.standard_normal((NG, NV)).astype(np.float32)
+    data_r = rng.standard_normal((NG, NB, NF)).astype(np.float32)
+    data_i = rng.standard_normal((NG, NB, NF)).astype(np.float32)
+    wgts = np.abs(rng.standard_normal((NG, NB, NF))).astype(np.float32)
+    wgts /= wgts.sum()
+    return tuple(jnp.asarray(x) for x in
+                 (comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts))
+
+
+def test_applicability(chunk_inputs):
+    comps = chunk_inputs[0]
+    assert fused_loss_applicable(comps)
+    assert not fused_loss_applicable(comps[:, :, : NF - 8])  # misaligned F
+    assert not fused_loss_applicable(jnp.tile(comps, (1, 2, 1, 1)))  # B != 1
+
+
+def test_fused_loss_matches_xla(chunk_inputs):
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
+    chunks = ((comps, a0, a1),)
+    args = (g_r, g_i, (fg_r,), (fg_i,), chunks, (data_r,), (data_i,), (wgts,))
+    l_xla = loss_ops.chunked_loss(*args, use_pallas=False)
+    l_fused = loss_ops.chunked_loss(*args, use_pallas=True)
+    assert np.isclose(float(l_xla), float(l_fused), rtol=1e-5)
+
+
+def test_fused_grads_match_xla(chunk_inputs):
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
+    chunks = ((comps, a0, a1),)
+
+    def make_loss(use_pallas):
+        def f(params):
+            gr, gi, fr, fi = params
+            return loss_ops.chunked_loss(
+                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,),
+                use_pallas=use_pallas,
+            )
+        return f
+
+    params = (g_r, g_i, fg_r, fg_i)
+    gx = jax.grad(make_loss(False))(params)
+    gp = jax.grad(make_loss(True))(params)
+    names = ["g_r", "g_i", "fg_r", "fg_i"]
+    for name, a, b in zip(names, gx, gp):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        assert np.allclose(a, b, atol=3e-5 * scale), f"grad mismatch for {name}"
+
+
+def test_fused_inside_jit_and_fit_step(chunk_inputs):
+    """Fused path composes with jit + optax update (the production usage)."""
+    import optax
+
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
+    chunks = ((comps, a0, a1),)
+    opt = optax.adamax(1e-2)
+
+    @jax.jit
+    def step(params, opt_state):
+        def f(p):
+            gr, gi, fr, fi = p
+            return loss_ops.chunked_loss(
+                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,),
+                use_pallas=True,
+            )
+        loss, grads = jax.value_and_grad(f)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    params = (g_r, g_i, fg_r, fg_i)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(5):
+        loss, params, opt_state = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert np.all(np.isfinite(losses))
