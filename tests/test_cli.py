@@ -1,0 +1,160 @@
+"""CLI / file-driver / version tests (reference test parity:
+test_calibration.py:758-765, 882-934; test_version.py)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from calamity_tpu import calibration, simulate, version
+from calamity_tpu.io import CalData, VisData
+
+
+@pytest.fixture()
+def input_file(tmp_path, redundant_visdata):
+    path = os.path.join(str(tmp_path), "input.uvh5")
+    redundant_visdata.write_uvh5(path)
+    return path
+
+
+def test_dpss_fit_argparser_defaults():
+    sys.argv = [sys.argv[0], "--input_data_files", "input.uvh5"]
+    ap = calibration.dpss_fit_argparser()
+    args = ap.parse_args()
+    assert args.learning_rate == 1e-2
+    assert args.tol == 1e-14
+    assert args.maxsteps == 10000
+    assert args.input_data_files == ["input.uvh5"]
+    assert args.horizon == 1.0
+    assert args.model_regularization == "post_hoc"
+
+
+def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata):
+    tmp = str(tmp_path)
+    outfile_resid = os.path.join(tmp, "resid_fit.uvh5")
+    outfile_model = os.path.join(tmp, "model_fit.uvh5")
+    outfile_gain = os.path.join(tmp, "gains_fit.calfits")
+    gains = CalData.blank_from_visdata(redundant_visdata)
+    gains.x_orientation = "east"
+    gname = os.path.join(tmp, "gains_input.calfits")
+    gains.write_calfits(gname)
+
+    model, resid, fitted_gains, fit_info = calibration.read_calibrate_and_model_dpss(
+        input_data_files=input_file,
+        input_model_files=input_file,
+        input_gain_files=gname,
+        resid_outfilename=outfile_resid,
+        model_outfilename=outfile_model,
+        gain_outfilename=outfile_gain,
+        maxsteps=300,
+        tol=1e-10,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+    )
+    for fn in (outfile_resid, outfile_model, outfile_gain):
+        assert os.path.exists(fn)
+    back = VisData.from_uvh5(outfile_model)
+    assert np.isfinite(back.data_array).all()
+    # provenance string is recorded in output history
+    assert "This file was produced by" in back.history
+    gback = CalData.from_calfits(outfile_gain)
+    assert gback.x_orientation == "east"
+    assert "calibration_kwargs" in fit_info
+
+    # argparser round trip driving the same files, with precision 64 and
+    # autocorrelation weights (reference test_calibration.py:908-934)
+    sys.argv = [
+        sys.argv[0],
+        "--input_data_files", input_file,
+        "--input_model_files", input_file,
+        "--input_gain_files", gname,
+        "--resid_outfilename", outfile_resid,
+        "--model_outfilename", outfile_model,
+        "--gain_outfilename", outfile_gain,
+        "--precision", "64",
+        "--use_autocorrs_in_weights",
+        "--maxsteps", "100",
+        "--clobber",
+    ]
+    ap = calibration.dpss_fit_argparser()
+    args = ap.parse_args()
+    _, _, _, fit_info = calibration.read_calibrate_and_model_dpss(**vars(args))
+    assert fit_info["calibration_kwargs"]["dtype"] == np.float64
+    for fn in (outfile_resid, outfile_model, outfile_gain):
+        assert os.path.exists(fn)
+
+
+def test_read_calibrate_clobber_fails_fast(tmp_path, input_file):
+    out = os.path.join(str(tmp_path), "resid.uvh5")
+    open(out, "w").close()
+    with pytest.raises(IOError):
+        calibration.read_calibrate_and_model_dpss(
+            input_data_files=input_file, resid_outfilename=out, maxsteps=5
+        )
+
+
+def test_calh5_gain_output(tmp_path, input_file):
+    out = os.path.join(str(tmp_path), "g.calh5")
+    calibration.read_calibrate_and_model_dpss(
+        input_data_files=input_file,
+        gain_outfilename=out,
+        maxsteps=50,
+        tol=1e-10,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+    )
+    g = CalData.from_calh5(out)
+    assert np.isfinite(g.gain_array).all()
+
+
+def test_multipol_fit():
+    """4-pol dataset: per-pol fits converge independently
+    (BASELINE.json config 3 concept)."""
+    uvd = simulate.make_golomb_array(nants=6, nfreqs=64, npols=4, seed=2)
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        uvdata=uvd,
+        gains=None,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        maxsteps=800,
+        tol=1e-12,
+        learning_rate=1e-2,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+    )
+    assert len(hist) == 4
+    assert gains.Njones == 4
+    rms = lambda x: np.sqrt(np.mean(np.abs(x) ** 2))
+    for p in range(4):
+        assert rms(model.data_array[..., p]) >= 50 * rms(resid.data_array[..., p])
+
+
+def test_version_info():
+    info = version.construct_version_info()
+    assert info["version"] == version.__version__
+    hist = version.history_string(notes="unit test")
+    assert "unit test" in hist
+    assert "version" in hist
+
+
+def test_profiler_output(tmp_path, golomb_visdata):
+    """Opt-in profiling writes trace files (reference parity:
+    tf.profiler usage, tested at reference test_calibration.py:817-819)."""
+    import glob
+
+    logdir = os.path.join(str(tmp_path), "profile")
+    calibration.calibrate_and_model_dpss(
+        uvdata=golomb_visdata,
+        gains=None,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        maxsteps=20,
+        tol=0.0,
+        n_profile_steps=5,
+        profile_log_dir=logdir,
+        model_regularization="post_hoc",
+    )
+    assert os.path.exists(logdir)
+    assert len(glob.glob(logdir + "/**/*", recursive=True)) > 0
