@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 
 def _device_inputs(ngrps, nbls, nfreqs, nvecs, nants, dtype):
@@ -74,17 +75,23 @@ def bench_ours(inputs, nsteps, lr=1e-2):
     from calamity_tpu.ops.loss import chunked_loss
 
     comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = inputs
-    chunks = ((comps, a0, a1),)
     opt = optax.adamax(lr)
 
-    def loss_fn(params):
-        gr, gi, fr, fi = params
-        return chunked_loss(gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,))
+    # NOTE: all large arrays are explicit jit arguments — captured device
+    # arrays would be baked into the program as constants, which balloons
+    # the serialized payload under remote compilation.
+    @partial(jax.jit, static_argnames=("n",))
+    def run(params, opt_state, comps, a0, a1, data_r, data_i, wgts, n):
+        chunks = ((comps, a0, a1),)
 
-    vg = jax.value_and_grad(loss_fn)
+        def loss_fn(params):
+            gr, gi, fr, fi = params
+            return chunked_loss(
+                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,)
+            )
 
-    @jax.jit
-    def run(params, opt_state, n):
+        vg = jax.value_and_grad(loss_fn)
+
         def body(i, carry):
             params, opt_state, _ = carry
             loss, grads = vg(params)
@@ -96,13 +103,24 @@ def bench_ours(inputs, nsteps, lr=1e-2):
 
     params = (g_r, g_i, fg_r, fg_i)
     opt_state = opt.init(params)
-    out = run(params, opt_state, 2)  # warmup/compile
-    jax.block_until_ready(out[2])
-    t0 = time.perf_counter()
-    out = run(params, opt_state, nsteps)
-    jax.block_until_ready(out[2])
-    t1 = time.perf_counter()
-    return (t1 - t0) / nsteps * 1e3, float(out[2])
+    big = (comps, a0, a1, data_r, data_i, wgts)
+    n_small = max(2, nsteps // 10)
+
+    def timed(n):
+        # end the timed region with a device->host scalar fetch: through
+        # remote-relay backends block_until_ready can report early, but a
+        # data fetch cannot
+        t0 = time.perf_counter()
+        out = run(params, opt_state, *big, n=n)
+        loss = float(out[2])
+        return time.perf_counter() - t0, loss
+
+    timed(n_small)  # compile at n_small
+    timed(nsteps)  # compile at nsteps
+    t_small, _ = timed(n_small)
+    t_big, loss = timed(nsteps)
+    # difference cancels the constant dispatch + fetch overhead
+    return (t_big - t_small) / (nsteps - n_small) * 1e3, loss
 
 
 def bench_reference_pattern(inputs, nsteps, lr=1e-2):
@@ -114,31 +132,31 @@ def bench_reference_pattern(inputs, nsteps, lr=1e-2):
 
     comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = inputs
     # reference layout: comps (nvecs, ngrps, nbls, nfreqs), coeffs (nvecs, ngrps, 1, 1)
-    comps_t = jnp.moveaxis(comps, -1, 0)
+    comps_t = jax.jit(lambda c: jnp.moveaxis(c, -1, 0))(comps)
     fg_r_t = jnp.moveaxis(fg_r, -1, 0)[:, :, None, None]
     fg_i_t = jnp.moveaxis(fg_i, -1, 0)[:, :, None, None]
     opt = optax.adamax(lr)
 
-    def loss_fn(params):
-        gr, gi, fr, fi = params
-        vr = jnp.sum(fr * comps_t, axis=0)
-        vi = jnp.sum(fi * comps_t, axis=0)
-        gr0 = jnp.take(gr, a0, axis=0)
-        gr1 = jnp.take(gr, a1, axis=0)
-        gi0 = jnp.take(gi, a0, axis=0)
-        gi1 = jnp.take(gi, a1, axis=0)
-        grgr = gr0 * gr1
-        gigi = gi0 * gi1
-        grgi = gr0 * gi1
-        gigr = gi0 * gr1
-        model_r = (grgr + gigi) * vr + (grgi - gigr) * vi
-        model_i = (gigr - grgi) * vr + (grgr + gigi) * vi
-        return jnp.sum(
-            (jnp.square(data_r - model_r) + jnp.square(data_i - model_i)) * wgts
-        )
-
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, comps_t, a0, a1, data_r, data_i, wgts):
+        def loss_fn(params):
+            gr, gi, fr, fi = params
+            vr = jnp.sum(fr * comps_t, axis=0)
+            vi = jnp.sum(fi * comps_t, axis=0)
+            gr0 = jnp.take(gr, a0, axis=0)
+            gr1 = jnp.take(gr, a1, axis=0)
+            gi0 = jnp.take(gi, a0, axis=0)
+            gi1 = jnp.take(gi, a1, axis=0)
+            grgr = gr0 * gr1
+            gigi = gi0 * gi1
+            grgi = gr0 * gi1
+            gigr = gi0 * gr1
+            model_r = (grgr + gigi) * vr + (grgi - gigr) * vi
+            model_i = (gigr - grgi) * vr + (grgr + gigi) * vi
+            return jnp.sum(
+                (jnp.square(data_r - model_r) + jnp.square(data_i - model_i)) * wgts
+            )
+
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -146,11 +164,12 @@ def bench_reference_pattern(inputs, nsteps, lr=1e-2):
 
     params = (g_r, g_i, fg_r_t, fg_i_t)
     opt_state = opt.init(params)
-    loss, params2, opt_state2 = step(params, opt_state)
+    big = (comps_t, a0, a1, data_r, data_i, wgts)
+    loss, params2, opt_state2 = step(params, opt_state, *big)
     float(loss)  # compile + sync
     t0 = time.perf_counter()
     for _ in range(nsteps):
-        loss, params, opt_state = step(params, opt_state)
+        loss, params, opt_state = step(params, opt_state, *big)
         float(loss)  # the reference's per-step loss.numpy() host sync
     t1 = time.perf_counter()
     return (t1 - t0) / nsteps * 1e3, float(loss)
@@ -169,9 +188,16 @@ def main():
         nsteps = 100
     import numpy as np
 
+    import sys
+
+    print(f"# bench: building inputs ({cfg})", file=sys.stderr, flush=True)
     inputs = _device_inputs(dtype=jax.numpy.float32, **cfg)
+    print("# bench: timing production step", file=sys.stderr, flush=True)
     ours_ms, ours_loss = bench_ours(inputs, nsteps)
+    print(f"# bench: ours {ours_ms:.3f} ms/step; timing reference pattern",
+          file=sys.stderr, flush=True)
     ref_ms, ref_loss = bench_reference_pattern(inputs, min(nsteps, 30))
+    print(f"# bench: ref {ref_ms:.3f} ms/step", file=sys.stderr, flush=True)
     assert np.isfinite(ours_loss) and np.isfinite(ref_loss)
     print(
         json.dumps(
