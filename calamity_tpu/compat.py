@@ -13,19 +13,45 @@ Reference locations these mirror:
   tensorize_data                    calibration.py:193-310
   tensorize_gains                   calibration.py:369-399
   yield_fg_model_array              calibration.py:402-444
+  insert_model_into_uvdata_tensor   calibration.py:741-795
+  insert_gains_into_uvcal           calibration.py:798-825
   tensorize_fg_coeffs               calibration.py:828-913
+  fg_model / data_model / mse       calibration.py:1587-1609
+  mse_chunked(_sum_regularized)     calibration.py:1612-1656
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from .ops.loss import fg_model_all_chunks
+from .ops.loss import (  # noqa: F401  (reference-named math kernels)
+    chunked_loss as mse_chunked,
+    chunked_loss_sum_regularized as mse_chunked_sum_regularized,
+    data_model,
+    fg_model,
+    fg_model_all_chunks,
+    mse,
+)
 from .ops.lstsq import init_coeffs_chunk
 from .solver.tensorize import FitSpec, chunk_fitting_groups
 
 # reference name for the chunking step (calibration.py:30)
 chunk_fg_comp_dict_by_nbls = chunk_fitting_groups
+
+
+def insert_model_into_uvdata_tensor(spec, visdata_model, fg_coeffs_r, fg_coeffs_i,
+                                    polarization, time, scale_factor=1.0):
+    """Write fitted model coefficients back into a VisData
+    (reference calibration.py:741-795). Takes the FitSpec as first arg."""
+    chunks = spec.device_chunks()
+    model_chunks = fg_model_all_chunks(tuple(fg_coeffs_r), tuple(fg_coeffs_i), chunks)
+    spec.insert_model(visdata_model, model_chunks, polarization, time, scale_factor)
+
+
+def insert_gains_into_uvcal(spec, caldata, g_r, g_i, polarization, time):
+    """Write fitted gains back into a CalData
+    (reference calibration.py:798-825). Takes the FitSpec as first arg."""
+    spec.insert_gains(caldata, g_r, g_i, polarization, time)
 
 
 def tensorize_fg_model_comps_dict(

@@ -36,15 +36,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=10 * 2**20):
-    """Largest group-tile in {16,8,4,2,1} dividing ngrps that fits VMEM."""
-    for tg in (16, 8, 4, 2, 1):
+    """Largest group-tile in {32,16,8} dividing ngrps that fits VMEM.
+
+    Tiles are multiples of 8: Mosaic requires the second-to-last block dim
+    to be sublane-aligned (8) for every buffer whose block includes the
+    group axis."""
+    for tg in (32, 16, 8):
         if ngrps % tg:
             continue
         # comps tile + v tile + 5 (TG,F) buffers + coeffs
         need = tg * nfreqs * nvecs * dtype_bytes + 7 * tg * nfreqs * dtype_bytes
         if need <= vmem_budget:
             return tg
-    return 1
+    return None
 
 
 def fused_loss_applicable(comps):
@@ -57,6 +61,7 @@ def fused_loss_applicable(comps):
         and comps.dtype == jnp.float32
         and nfreqs % 128 == 0
         and nvecs % 128 == 0
+        and _pick_tile(ngrps, nfreqs, nvecs) is not None
     )
 
 
@@ -65,9 +70,17 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
     """One group-tile: loss partial + foreground visibilities.
 
     comps_ref: (TG, F, V); coeffs_ref: (2, TG, V); pr/pi/dr/di/w: (TG, F)
-    loss_ref: (1, 1); v_ref: (2, TG, F)
+    loss_ref: (8, 128) shared accumulator; v_ref: (2, TG, F)
+
+    The TPU grid executes sequentially, so every program accumulates its
+    partial chi-square into the same lane-aligned accumulator block.
     """
     tg = comps_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        loss_ref[...] = jnp.zeros_like(loss_ref)
+
     acc = jnp.zeros((), jnp.float32)
     for g in range(tg):  # static unroll over the tile
         cmat = comps_ref[g]  # (F, V)
@@ -88,7 +101,11 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
         er = dr_ref[g, :] - mr
         ei = di_ref[g, :] - mi
         acc = acc + jnp.sum(w_ref[g, :] * (er * er + ei * ei))
-    loss_ref[0, 0] = acc
+    # place the scalar at [0, 0] without a scatter (unsupported in Mosaic)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    pad = jnp.where((row == 0) & (col == 0), acc, jnp.float32(0))
+    loss_ref[...] = loss_ref[...] + pad
 
 
 def _bwd_kernel(comps_ref, v_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref, gbar_ref,
@@ -139,11 +156,12 @@ def _fwd_call(coeffs2, pr, pi, comps3, dr, di, w):
             pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # single shared accumulator block (sequential TPU grid)
+            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tg, nfreqs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((2, ngrps, nfreqs), jnp.float32),
         ],
         interpret=_interpret(),

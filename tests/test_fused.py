@@ -8,7 +8,7 @@ import pytest
 from calamity_tpu.ops import loss as loss_ops
 from calamity_tpu.ops.fused import fused_loss_applicable
 
-NG, NB, NF, NV, NA = 12, 1, 256, 128, 8
+NG, NB, NF, NV, NA = 16, 1, 256, 128, 8
 
 
 @pytest.fixture()
@@ -35,6 +35,7 @@ def test_applicability(chunk_inputs):
     assert fused_loss_applicable(comps)
     assert not fused_loss_applicable(comps[:, :, : NF - 8])  # misaligned F
     assert not fused_loss_applicable(jnp.tile(comps, (1, 2, 1, 1)))  # B != 1
+    assert not fused_loss_applicable(comps[:12])  # group count not 8-aligned
 
 
 def test_fused_loss_matches_xla(chunk_inputs):
