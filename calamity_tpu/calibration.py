@@ -261,6 +261,13 @@ def calibrate_and_model_tensor(
                 "time_parallel is incompatible with "
                 "init_guesses_from_previous_time_step (slices run concurrently)"
             )
+        if mesh is None:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from .parallel.mesh import make_mesh
+
+                mesh = make_mesh()
         return _calibrate_time_parallel(
             uvdata=uvdata,
             spec=spec,
@@ -1027,6 +1034,16 @@ def fitting_argparser():
                     help="Weight the loss proportional to model SNR.")
     sp.add_argument("--use_autocorrs_in_weights", default=False, action="store_true",
                     help="Use smooth autocorrelation fits as inverse-variance weights.")
+    tp = ap.add_argument_group("TPU-native scaling arguments.")
+    tp.add_argument("--time_parallel", default=False, action="store_true",
+                    help="Batch every (time, pol) fit into one compiled descent "
+                         "(sharded over all devices when more than one is present).")
+    tp.add_argument("--use_pallas", default=False, action="store_true",
+                    help="Use the fused Pallas forward+loss kernel when shapes allow.")
+    tp.add_argument("--checkpoint_dir", default=None, type=str,
+                    help="Directory for mid-fit checkpoints (enables resume).")
+    tp.add_argument("--checkpoint_every", default=1000, type=int,
+                    help="Steps between mid-fit checkpoints.")
     return ap
 
 
