@@ -23,8 +23,7 @@ the reference documents at calibration.py:140-146).
 
 from __future__ import annotations
 
-import copy
-from typing import Any, Dict, List, NamedTuple, Optional
+from typing import Any, Dict, List, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -103,8 +102,6 @@ class FitSpec:
         self.red_grps = [rg for fit_grp in fg_model_comps_dict for rg in fit_grp]
 
         # blt-row lookup per antpair, sorted by time
-        row_map = {}
-        conj_map = {}
         pair_rows: Dict[tuple, list] = {}
         for row, (a1, a2, t) in enumerate(
             zip(visdata.ant_1_array.tolist(), visdata.ant_2_array.tolist(),

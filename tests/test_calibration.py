@@ -6,13 +6,12 @@ projected-sky fixtures so a perfect fit exists, convergence-ratio asserts
 flag/skip handling, freeze-model gain recovery, and regularization modes.
 """
 
-import copy
 
 import numpy as np
 import pytest
 
 from calamity_tpu import cal_utils, calibration, models, simulate
-from calamity_tpu.io import CalData, FlagWeights
+from calamity_tpu.io import FlagWeights
 from calamity_tpu.ops.loss import fg_model_all_chunks
 from calamity_tpu.ops.lstsq import init_coeffs_chunk
 from calamity_tpu.solver.tensorize import FitSpec, chunk_fitting_groups

@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from calamity_tpu import cal_utils, calibration, models
+from calamity_tpu import calibration, models
 from calamity_tpu.solver import checkpoint as ckpt_mod
 from tests.test_calibration import RMS, project_onto_dpss
 

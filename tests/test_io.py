@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from calamity_tpu import simulate, utils
+from calamity_tpu import utils
 from calamity_tpu.io import CalData, FlagWeights, VisData, jstr2num, polnum2str, polstr2num
 
 
