@@ -192,6 +192,7 @@ def calibrate_and_model_tensor(
     checkpoint_every=1000,
     resume=True,
     use_pallas=False,
+    nvec_bucketing=False,
     **opt_kwargs,
 ):
     """Simultaneous gain calibration and foreground fitting.
@@ -251,6 +252,7 @@ def calibrate_and_model_tensor(
         dtype=dtype,
         use_redundancy=use_redundancy,
         grp_size_threshold=grp_size_threshold,
+        nvec_bucketing=nvec_bucketing,
     )
     chunks = spec.device_chunks()
     del fg_model_comps_dict

@@ -50,6 +50,25 @@ def _concentration_matrix(freqs, half_width):
     return 2.0 * half_width * df * np.sinc(2.0 * half_width * dmat)
 
 
+def _toeplitz_quadratic_evals(vecs, nf, df, half_width):
+    """Concentration eigenvalues lambda_k = v_k^T rho v_k for a UNIFORM grid.
+
+    rho is Toeplitz with first row r[m] = 2 W df sinc(2 W df m); the
+    matrix-vector products are computed as FFT convolutions in
+    O(K N log N) instead of building the O(N^2) dense matrix — essential
+    when thousands of distinct baseline lengths each need their own
+    operator (e.g. 2000+ baselines x 1536 channels)."""
+    m = np.arange(nf, dtype=np.float64)
+    r = 2.0 * half_width * df * np.sinc(2.0 * half_width * df * m)
+    # embed Toeplitz in a circulant of size 2N
+    c = np.concatenate([r, [0.0], r[:0:-1]])
+    fc = np.fft.rfft(c)
+    vpad = np.zeros((vecs.shape[0], 2 * nf))
+    vpad[:, :nf] = vecs
+    prod = np.fft.irfft(np.fft.rfft(vpad, axis=1) * fc[None, :], n=2 * nf, axis=1)[:, :nf]
+    return np.einsum("kn,kn->k", vecs, prod)
+
+
 def dpss_operator(freqs, filter_half_width, eigenval_cutoff=1e-10, cache=None):
     """DPSS basis matrix for one delay half-width.
 
@@ -87,12 +106,11 @@ def dpss_operator(freqs, filter_half_width, eigenval_cutoff=1e-10, cache=None):
         # smallest returned eigenvalue is far below any sane cutoff.
         kmax = int(min(nf, np.ceil(2.0 * nw) + 35))
         vecs = windows.dpss(nf, nw, Kmax=kmax).T  # (nf, kmax)
-        rho = _concentration_matrix(freqs, filter_half_width)
-        evals = np.einsum("fk,fg,gk->k", vecs, rho, vecs)
+        evals = _toeplitz_quadratic_evals(vecs.T, nf, df, filter_half_width)
         keep = evals >= eigenval_cutoff
         if keep.all() and kmax < nf:
             # margin was insufficient for this cutoff: use the dense path
-            w, v = np.linalg.eigh(rho)
+            w, v = np.linalg.eigh(_concentration_matrix(freqs, filter_half_width))
             w = w[::-1]
             v = v[:, ::-1]
             keep = w >= eigenval_cutoff

@@ -31,12 +31,20 @@ import numpy as np
 from ..io.polarizations import polstr2num
 
 
-def chunk_fitting_groups(fg_model_comps_dict, use_redundancy=False, grp_size_threshold=5):
+def chunk_fitting_groups(fg_model_comps_dict, use_redundancy=False, grp_size_threshold=5,
+                         nvec_bucketing=False):
     """Bucket fitting groups by per-group baseline count.
 
     Reference parity (calibration.py:30-101): when redundancy is not used,
     fitting groups whose redundant subgroups all have the same (small)
     size are split into per-position groups so they chunk together.
+
+    ``nvec_bucketing`` additionally splits each baseline-count bucket by
+    the next power of two of the group's mode count. The reference pads
+    every group to the bucket maximum (calibration.py:140-146) — at array
+    scale, where mode counts span 2..200+ with baseline length, that wastes
+    ~2x HBM on zero padding; power-of-two buckets bound the waste to <2x
+    per chunk while keeping the chunk count ~log(nvec_max).
 
     Returns dict {(nbl, maxvecs): {fit_grp: comps matrix}}.
     """
@@ -50,16 +58,25 @@ def chunk_fitting_groups(fg_model_comps_dict, use_redundancy=False, grp_size_thr
                     new_grp = tuple((red_grp[rednum],) for red_grp in fit_grp)
                     fg_model_comps_dict[new_grp] = mat
 
-    buckets: Dict[int, List] = {}
-    maxvecs: Dict[int, int] = {}
+    def vec_bucket(nvec):
+        if not nvec_bucketing:
+            return 0
+        b = 8
+        while b < nvec:
+            b *= 2
+        return b
+
+    buckets: Dict[tuple, List] = {}
+    maxvecs: Dict[tuple, int] = {}
     for fit_grp, mat in fg_model_comps_dict.items():
         nbl = sum(len(red_grp) for red_grp in fit_grp)
-        buckets.setdefault(nbl, []).append(fit_grp)
-        maxvecs[nbl] = max(maxvecs.get(nbl, 0), mat.shape[1])
+        key = (nbl, vec_bucket(mat.shape[1]))
+        buckets.setdefault(key, []).append(fit_grp)
+        maxvecs[key] = max(maxvecs.get(key, 0), mat.shape[1])
 
     return {
-        (nbl, maxvecs[nbl]): {grp: fg_model_comps_dict[grp] for grp in buckets[nbl]}
-        for nbl in buckets
+        (key[0], maxvecs[key]): {grp: fg_model_comps_dict[grp] for grp in buckets[key]}
+        for key in buckets
     }
 
 
@@ -88,7 +105,7 @@ class FitSpec:
     data; here both are vectorized)."""
 
     def __init__(self, visdata, fg_model_comps_dict, ants_map, dtype=np.float32,
-                 use_redundancy=False, grp_size_threshold=5):
+                 use_redundancy=False, grp_size_threshold=5, nvec_bucketing=False):
         self.dtype = np.dtype(dtype)
         self.ants_map = dict(ants_map)
         self.nants = len(ants_map)
@@ -125,6 +142,7 @@ class FitSpec:
             fg_model_comps_dict,
             use_redundancy=use_redundancy,
             grp_size_threshold=grp_size_threshold,
+            nvec_bucketing=nvec_bucketing,
         )
 
         self.chunks: List[ChunkArrays] = []

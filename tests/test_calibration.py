@@ -475,3 +475,27 @@ def test_calibrate_and_model_mixed(
     resid = cal_utils.apply_gains(resid, fitted_gains)
     model = cal_utils.apply_gains(model, fitted_gains)
     _assert_converged(uvdata, model, resid)
+
+
+def test_nvec_bucketing(sky_model_projected, dpss_vectors, gains):
+    """Power-of-two mode-count bucketing splits chunks and bounds padding."""
+    chunked = chunk_fitting_groups(dpss_vectors, nvec_bucketing=True)
+    assert len(chunked) >= 2  # golomb array spans several mode-count octaves
+    for (nbl, maxv), grps in chunked.items():
+        for mat in grps.values():
+            assert mat.shape[1] <= maxv
+            assert maxv < 2 * max(mat.shape[1], 8) + 1
+    # end-to-end: bucketed fit converges identically
+    model, resid, fitted, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=sky_model_projected,
+        gains=gains,
+        maxsteps=2000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        nvec_bucketing=True,
+    )
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
