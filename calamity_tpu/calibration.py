@@ -575,7 +575,7 @@ def _calibrate_time_parallel(
     n_bl = mesh.shape["bl"] if mesh is not None else 1
     nbatch = -(-nbatch_real // n_data) * n_data
 
-    def stack(items, pad_to=None, axis_pad=None):
+    def stack(items):
         out = jnp.stack([jnp.asarray(x) for x in items])
         if out.shape[0] < nbatch:
             # zero-weight dummy slices: repeat structure, contribute nothing
