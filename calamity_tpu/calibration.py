@@ -23,7 +23,6 @@ from .io.flags import FlagWeights
 from .io.polarizations import polstr2num
 from .io.visdata import VisData
 from .ops.loss import fg_model_all_chunks
-from .ops.lstsq import init_coeffs_chunk
 from .solver.fit import fit_gains_and_foregrounds
 from .solver.optimizers import OPTIMIZERS  # noqa: F401  (reference-named registry)
 from .solver.tensorize import FitSpec
@@ -359,14 +358,8 @@ def calibrate_and_model_tensor(
                 )
                 init_r = sky_r if sky_model is not None else data_r
                 init_i = sky_i if sky_model is not None else data_i
-                fg_r = tuple(
-                    init_coeffs_chunk(c[0], dr, w)
-                    for c, dr, w in zip(chunks, init_r, wgts)
-                )
-                fg_i = tuple(
-                    init_coeffs_chunk(c[0], di, w)
-                    for c, di, w in zip(chunks, init_i, wgts)
-                )
+                fg_r = tuple(spec.init_coeffs(init_r, wgts))
+                fg_i = tuple(spec.init_coeffs(init_i, wgts))
                 if use_model_snr_weights:
                     import jax.numpy as jnp
 
@@ -527,7 +520,6 @@ def _calibrate_time_parallel(
         f"{datetime.datetime.now()} Batched fit over {len(slices)} (time, pol) slices...\n",
         verbose=verbose,
     )
-    from .ops.lstsq import init_coeffs_chunk
 
     per_slice = {"g_r": [], "g_i": [], "fg_r": [[] for _ in range(nchunks)],
                  "fg_i": [[] for _ in range(nchunks)],
@@ -547,8 +539,8 @@ def _calibrate_time_parallel(
         else:
             sky_r, sky_i = data_r, data_i
         g_r, g_i = spec.pack_gains(gains, pol, time)
-        fg_r = [init_coeffs_chunk(c[0], dr, w) for c, dr, w in zip(chunks, sky_r, wgts)]
-        fg_i = [init_coeffs_chunk(c[0], di, w) for c, di, w in zip(chunks, sky_i, wgts)]
+        fg_r = spec.init_coeffs(sky_r, wgts)
+        fg_i = spec.init_coeffs(sky_i, wgts)
         if use_model_snr_weights:
             wmodel = fg_model_all_chunks(tuple(fg_r), tuple(fg_i), chunks)
             wgts = [

@@ -23,6 +23,45 @@ import jax.numpy as jnp
 
 
 @partial(jax.jit, static_argnames=("ridge",))
+def gram_cholesky_chunk(comps, ridge=1e-6):
+    """Cholesky factor of the (static) normal-equation gram per group.
+
+    The gram A^T A depends only on the basis matrices, not the data — the
+    reference's per-fit lstsq re-factors it for every (time, pol) slice
+    (calibration.py:893-904); computing it once per FitSpec removes an
+    O(ngrps * nfreqs * nvecs^2) cost from every fit. Zero-padded columns
+    get unit diagonal (block decoupling, see init_coeffs_chunk)."""
+    ngrps, nbls, nfreqs, nvecs = comps.shape
+    amat = comps.reshape(ngrps, nbls * nfreqs, nvecs)
+    gram = jnp.einsum(
+        "gnv,gnw->gvw", amat, amat,
+        preferred_element_type=amat.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    col_norm = jnp.sum(jnp.square(amat), axis=1)
+    active = (col_norm > 0).astype(amat.dtype)
+    scale = jnp.max(col_norm, axis=1, keepdims=True)
+    diag_add = jnp.where(active > 0, ridge * scale, 1.0)
+    eye = jnp.eye(nvecs, dtype=amat.dtype)
+    gram = gram + eye * diag_add[..., None, :]
+    return jax.scipy.linalg.cholesky(gram, lower=True), active
+
+
+@jax.jit
+def init_coeffs_from_cholesky(chol, active, comps, data, wgts):
+    """Warm-start coefficients using a precomputed gram factor."""
+    ngrps, nbls, nfreqs, nvecs = comps.shape
+    amat = comps.reshape(ngrps, nbls * nfreqs, nvecs)
+    binw = (wgts != 0).astype(data.dtype)
+    dvec = (data * binw).reshape(ngrps, nbls * nfreqs)
+    rhs = jnp.einsum(
+        "gnv,gn->gv", amat, dvec,
+        preferred_element_type=amat.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+    coeffs = jax.scipy.linalg.cho_solve((chol, True), rhs[..., None])[..., 0]
+    return coeffs * active
+
+
+@partial(jax.jit, static_argnames=("ridge",))
 def init_coeffs_chunk(comps, data, wgts, ridge=1e-6):
     """Least-squares coefficients for one chunk.
 

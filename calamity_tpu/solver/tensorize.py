@@ -313,3 +313,19 @@ class FitSpec:
     def device_chunks(self):
         """Tuple of (comps, a0, a1) triples for the loss functions."""
         return tuple((c.comps, c.a0, c.a1) for c in self.chunks)
+
+    def init_coeffs(self, data, wgts):
+        """Least-squares warm-start coefficients per chunk.
+
+        Uses gram Cholesky factors cached on first use — the gram depends
+        only on the (static) basis matrices, so re-factoring per fit (as
+        the reference's per-fit tf.linalg.lstsq does, calibration.py:
+        893-904) would waste O(ngrps nfreqs nvecs^2) per (time, pol)."""
+        from ..ops.lstsq import gram_cholesky_chunk, init_coeffs_from_cholesky
+
+        if not hasattr(self, "_gram_chol") or self._gram_chol is None:
+            self._gram_chol = [gram_cholesky_chunk(c.comps) for c in self.chunks]
+        return [
+            init_coeffs_from_cholesky(chol, active, c.comps, d, w)
+            for (chol, active), c, d, w in zip(self._gram_chol, self.chunks, data, wgts)
+        ]

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
     ap.add_argument("--use_pallas", action="store_true")
+    ap.add_argument("--repeat_fit", action="store_true",
+                    help="run the fit twice; the second run reuses the compiled "
+                         "program, isolating steady-state step time")
+    ap.add_argument("--cache", default=None,
+                    help="npz path to cache the simulated data + projection")
     args = ap.parse_args()
 
     import jax
@@ -44,13 +49,17 @@ def main():
         print(f"[{time.strftime('%H:%M:%S')}] {label}", file=sys.stderr, flush=True)
 
     # --- array + sky ------------------------------------------------------
-    stage(f"simulating {args.nants}-antenna array, {args.nfreqs} channels")
+    import os
+
+    cached = args.cache and os.path.exists(args.cache)
+    stage(f"simulating {args.nants}-antenna array, {args.nfreqs} channels"
+          + (" [cached]" if cached else ""))
     t0 = time.time()
     antpos = np.zeros((args.nants, 3))
     antpos[:, 0] = rng.uniform(0, 300, args.nants)
     antpos[:, 1] = rng.uniform(0, 300, args.nants)
     freqs = 100e6 + 100e3 * np.arange(args.nfreqs)
-    uvd = simulate.make_visdata(antpos, freqs, nsrc=args.nsrc, seed=1)
+    uvd = simulate.make_visdata(antpos, freqs, nsrc=(1 if cached else args.nsrc), seed=1)
     t_sim = time.time() - t0
 
     # --- basis + projection (perfect-fit ground truth) ---------------------
@@ -61,9 +70,14 @@ def main():
     nvecs = [m.shape[1] for m in comps.values()]
     stage(f"  {len(comps)} groups, modes per baseline: "
           f"min {min(nvecs)} / median {int(np.median(nvecs))} / max {max(nvecs)}")
-    stage("projecting data onto the basis")
     t0 = time.time()
-    project_onto_dpss(uvd, comps)
+    if cached:
+        uvd.data_array = np.load(args.cache)["data"]
+    else:
+        stage("projecting data onto the basis")
+        project_onto_dpss(uvd, comps)
+        if args.cache:
+            np.savez_compressed(args.cache, data=uvd.data_array)
     t_proj = time.time() - t0
 
     # --- corrupt ------------------------------------------------------------
@@ -92,6 +106,24 @@ def main():
         use_pallas=args.use_pallas,
     )
     t_fit = time.time() - t0
+    t_fit2 = None
+    if args.repeat_fit:
+        stage("repeating fit (compiled program cached)")
+        t0 = time.time()
+        model, resid, gains, info = calibration.calibrate_and_model_dpss(
+            uvdata=corrupted,
+            gains=None,
+            fg_model_comps_dict=comps,
+            maxsteps=args.maxsteps,
+            tol=args.tol,
+            learning_rate=1e-2,
+            correct_resid=True,
+            correct_model=True,
+            model_regularization="post_hoc",
+            nvec_bucketing=True,
+            use_pallas=args.use_pallas,
+        )
+        t_fit2 = time.time() - t0
 
     rms = lambda x: np.sqrt(np.mean(np.abs(x) ** 2))
     nsteps = len(info[0][0]["loss"])
@@ -103,6 +135,9 @@ def main():
     print(f"project   : {t_proj:8.1f}s")
     print(f"fit       : {t_fit:8.1f}s  ({nsteps} steps, "
           f"{1e3 * t_fit / max(nsteps, 1):.2f} ms/step incl. compile+packing)")
+    if t_fit2 is not None:
+        print(f"fit(warm) : {t_fit2:8.1f}s  "
+              f"({1e3 * t_fit2 / max(nsteps, 1):.2f} ms/step steady state)")
     print(f"loss      : {info[0][0]['loss'][0]:.3e} -> {info[0][0]['loss'][-1]:.3e}")
     print(f"model/resid: {rms(model.data_array) / rms(resid.data_array):.1f}x")
     print(f"data/resid : {rms(corrupted.data_array) / rms(resid.data_array):.1f}x")

@@ -499,3 +499,55 @@ def test_nvec_bucketing(sky_model_projected, dpss_vectors, gains):
         nvec_bucketing=True,
     )
     assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+
+
+def test_include_autos(redundant_visdata):
+    """Autocorrelations can be included in the fit (include_autos=True);
+    the model covers them and converges (reference include_autos flag,
+    calibration.py:1109-1111)."""
+    uvd = redundant_visdata.copy()
+    comps = models.yield_pbl_dpss_model_comps(
+        uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3, include_autos=True
+    )
+    project_onto_dpss(uvd, comps)
+    model, resid, fitted, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=uvd,
+        gains=None,
+        include_autos=True,
+        maxsteps=2000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+    )
+    assert model.Nbls == uvd.Nbls  # autos kept
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+
+
+def test_correct_flags_matrix(sky_model_projected, gains):
+    """correct_model=False leaves the gain-corrupted model; correcting it
+    post hoc reproduces the corrected-model output (reference semantics,
+    calibration.py:1322-1330)."""
+    common = dict(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=sky_model_projected,
+        gains=gains,
+        maxsteps=1500,
+        tol=1e-10,
+        model_regularization="post_hoc",
+    )
+    m1, r1, g1, _ = calibration.calibrate_and_model_dpss(
+        correct_model=True, correct_resid=False, **common
+    )
+    m2, r2, g2, _ = calibration.calibrate_and_model_dpss(
+        correct_model=False, correct_resid=False, **common
+    )
+    # with unity true gains and blank starting gains the fitted gains stay
+    # near unity, so corrected and uncorrected models agree to gain scale
+    m2c = cal_utils.apply_gains(m2, g2)
+    assert np.allclose(m2c.data_array, m1.data_array, atol=1e-5 * RMS(m1.data_array))
+    # resid identical either way (computed from uncorrected model)
+    assert np.allclose(r1.data_array, r2.data_array, atol=1e-7 * RMS(m1.data_array))
