@@ -192,6 +192,7 @@ def calibrate_and_model_tensor(
     resume=True,
     use_pallas=False,
     nvec_bucketing=False,
+    shared_basis=False,
     **opt_kwargs,
 ):
     """Simultaneous gain calibration and foreground fitting.
@@ -252,6 +253,7 @@ def calibrate_and_model_tensor(
         use_redundancy=use_redundancy,
         grp_size_threshold=grp_size_threshold,
         nvec_bucketing=nvec_bucketing,
+        shared_basis=shared_basis,
     )
     chunks = spec.device_chunks()
     del fg_model_comps_dict
@@ -589,11 +591,16 @@ def _calibrate_time_parallel(
     fit_chunks = []
     for cnum in range(nchunks):
         comps, a0, a1 = chunks[cnum]
-        ngrps = comps.shape[0]
+        ngrps = a0.shape[0]
         ngrps_pad = -(-ngrps // n_bl) * n_bl
+        # shared-basis chunks keep their single comps matrix (group dim 1)
+        comps_pad = (
+            comps if comps.shape[0] == 1 and ngrps > 1
+            else _pad_axis(comps, 0, ngrps_pad)
+        )
         fit_chunks.append(
             (
-                _pad_axis(comps, 0, ngrps_pad),
+                comps_pad,
                 _pad_axis(a0, 0, ngrps_pad),
                 _pad_axis(a1, 0, ngrps_pad),
             )
@@ -615,9 +622,13 @@ def _calibrate_time_parallel(
         sh = fit_shardings(mesh)
         g_r_b = jax.device_put(g_r_b, sh["gains"])
         g_i_b = jax.device_put(g_i_b, sh["gains"])
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated4 = NamedSharding(mesh, PartitionSpec(None, None, None, None))
         fit_chunks = tuple(
             (
-                jax.device_put(c, sh["comps"]),
+                # shared comps (group dim 1) replicate across the mesh
+                jax.device_put(c, sh["comps"] if c.shape[0] > 1 else replicated4),
                 jax.device_put(a0, sh["ants"]),
                 jax.device_put(a1, sh["ants"]),
             )
@@ -654,11 +665,11 @@ def _calibrate_time_parallel(
     for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
         fit_history[polnum][time_index] = {"loss": history[:, b].tolist()}
         fg_r_s = tuple(
-            jnp.asarray(fg_r_out[cnum][b, : chunks[cnum][0].shape[0]])
+            jnp.asarray(fg_r_out[cnum][b, : chunks[cnum][1].shape[0]])
             for cnum in range(nchunks)
         )
         fg_i_s = tuple(
-            jnp.asarray(fg_i_out[cnum][b, : chunks[cnum][0].shape[0]])
+            jnp.asarray(fg_i_out[cnum][b, : chunks[cnum][1].shape[0]])
             for cnum in range(nchunks)
         )
         spec.insert_model(

@@ -40,8 +40,23 @@ def fg_model(coeffs_r, coeffs_i, comps, precision=jax.lax.Precision.HIGHEST):
     precision: on TPU, float32 einsums default to one bfloat16 MXU pass
     (~1e-2 relative error), which poisons the convergence floor of the
     chi-square fit. HIGHEST keeps full f32 accuracy; the basis matvec is
-    still MXU work, just multi-pass."""
+    still MXU work, just multi-pass.
+
+    Shared-basis chunks: when comps has a leading group dim of 1 but the
+    coefficients carry ngrps > 1 groups, every group shares the single
+    basis matrix (redundant arrays: one DPSS operator per unique baseline
+    length). The contraction becomes one dense (2*ngrps, nvecs) x (nvecs,
+    nfreqs) matmul — comps is read from HBM once for ALL of its baselines,
+    cutting the dominant traffic by the redundancy factor."""
     coeffs = jnp.stack([coeffs_r, coeffs_i], axis=0)  # (2, ngrps, nvecs)
+    ngrps = coeffs.shape[1]
+    if comps.shape[0] == 1 and ngrps > 1:
+        # shared basis: (F, V) contracted against all groups at once
+        v = jnp.einsum(
+            "bfv,kgv->kgbf", comps[0], coeffs,
+            preferred_element_type=comps.dtype, precision=precision,
+        )
+        return v[0], v[1]
     v = jnp.einsum(
         "gbfv,kgv->kgbf", comps, coeffs,
         preferred_element_type=comps.dtype, precision=precision,
@@ -91,7 +106,7 @@ def chunked_loss(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, use_pallas=
         if use_pallas:
             from .fused import fused_chunk_loss, fused_loss_applicable
 
-            if fused_loss_applicable(comps):
+            if fused_loss_applicable(comps) and comps.shape[0] == data_r[cnum].shape[0]:
                 pr, pi = gain_products(g_r, g_i, a0, a1)  # (ngrps, 1, nfreqs)
                 coeffs2 = jnp.stack([fg_r[cnum], fg_i[cnum]], axis=0)
                 total = total + fused_chunk_loss(

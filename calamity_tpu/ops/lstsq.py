@@ -48,11 +48,26 @@ def gram_cholesky_chunk(comps, ridge=1e-6):
 
 @jax.jit
 def init_coeffs_from_cholesky(chol, active, comps, data, wgts):
-    """Warm-start coefficients using a precomputed gram factor."""
-    ngrps, nbls, nfreqs, nvecs = comps.shape
-    amat = comps.reshape(ngrps, nbls * nfreqs, nvecs)
+    """Warm-start coefficients using a precomputed gram factor.
+
+    Supports shared-basis chunks (comps group dim 1, data carrying ngrps
+    groups): the rhs becomes one matmul against the shared matrix and the
+    triangular solves batch over groups."""
+    ngrps_c, nbls, nfreqs, nvecs = comps.shape
+    ngrps = data.shape[0]
     binw = (wgts != 0).astype(data.dtype)
     dvec = (data * binw).reshape(ngrps, nbls * nfreqs)
+    if ngrps_c == 1 and ngrps > 1:
+        amat0 = comps.reshape(nbls * nfreqs, nvecs)
+        rhs = jnp.einsum(
+            "nv,gn->gv", amat0, dvec,
+            preferred_element_type=amat0.dtype, precision=jax.lax.Precision.HIGHEST,
+        )
+        chol0 = chol.reshape(nvecs, nvecs)
+        y = jax.scipy.linalg.solve_triangular(chol0, rhs.T, lower=True)
+        x = jax.scipy.linalg.solve_triangular(chol0.T, y, lower=False)
+        return x.T * active.reshape(1, nvecs)
+    amat = comps.reshape(ngrps, nbls * nfreqs, nvecs)
     rhs = jnp.einsum(
         "gnv,gn->gv", amat, dvec,
         preferred_element_type=amat.dtype, precision=jax.lax.Precision.HIGHEST,

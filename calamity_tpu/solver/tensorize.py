@@ -105,7 +105,8 @@ class FitSpec:
     data; here both are vectorized)."""
 
     def __init__(self, visdata, fg_model_comps_dict, ants_map, dtype=np.float32,
-                 use_redundancy=False, grp_size_threshold=5, nvec_bucketing=False):
+                 use_redundancy=False, grp_size_threshold=5, nvec_bucketing=False,
+                 shared_basis=False):
         self.dtype = np.dtype(dtype)
         self.ants_map = dict(ants_map)
         self.nants = len(ants_map)
@@ -148,22 +149,31 @@ class FitSpec:
         self.chunks: List[ChunkArrays] = []
         self.meta: List[ChunkMeta] = []
         nfreqs = self.nfreqs
-        for (nbls, nvecs), grp_dict in chunked.items():
+
+        def build_chunk(nbls, nvecs, grp_dict, shared_mat=None):
+            """Pack one chunk. With shared_mat, every group uses the same
+            basis matrix and comps is stored ONCE with group dim 1
+            (redundant arrays: comps HBM traffic divided by the number of
+            baselines sharing the operator)."""
             ngrps = len(grp_dict)
-            comps = np.zeros((ngrps, nbls, nfreqs, nvecs), dtype=self.dtype)
+            comps_ngrps = 1 if shared_mat is not None else ngrps
+            comps = np.zeros((comps_ngrps, nbls, nfreqs, nvecs), dtype=self.dtype)
             a0 = np.zeros((ngrps, nbls), dtype=np.int32)
             a1 = np.zeros((ngrps, nbls), dtype=np.int32)
             rows = np.zeros((self.ntimes, ngrps, nbls), dtype=np.int32)
             conj = np.zeros((ngrps, nbls), dtype=bool)
             antpairs = np.zeros((ngrps, nbls, 2), dtype=np.int64)
             fit_grps = list(grp_dict.keys())
+            if shared_mat is not None:
+                comps[0, 0, :, : shared_mat.shape[1]] = shared_mat.astype(self.dtype)
             for g, fit_grp in enumerate(fit_grps):
                 mat = np.asarray(grp_dict[fit_grp], dtype=self.dtype)
                 b = 0
                 for rgrpnum, red_grp in enumerate(fit_grp):
                     block = mat[rgrpnum * nfreqs : (rgrpnum + 1) * nfreqs, :]
                     for ap in red_grp:
-                        comps[g, b, :, : mat.shape[1]] = block
+                        if shared_mat is None:
+                            comps[g, b, :, : mat.shape[1]] = block
                         a0[g, b] = self.ants_map[ap[0]]
                         a1[g, b] = self.ants_map[ap[1]]
                         antpairs[g, b] = ap
@@ -175,6 +185,32 @@ class FitSpec:
                 ChunkArrays(jnp.asarray(comps), jnp.asarray(a0), jnp.asarray(a1))
             )
             self.meta.append(ChunkMeta(fit_grps, antpairs, rows, conj))
+
+        for (nbls, nvecs), grp_dict in chunked.items():
+            if shared_basis and nbls == 1:
+                import hashlib
+
+                by_digest = {}
+                for fit_grp, mat in grp_dict.items():
+                    mat = np.asarray(mat)
+                    key = (mat.shape, hashlib.sha1(mat.tobytes()).hexdigest())
+                    by_digest.setdefault(key, []).append(fit_grp)
+                dense = {}
+                for key, grps in by_digest.items():
+                    if len(grps) >= 2:
+                        shared_mat = np.asarray(grp_dict[grps[0]])
+                        build_chunk(
+                            nbls,
+                            shared_mat.shape[1],
+                            {g: grp_dict[g] for g in grps},
+                            shared_mat=shared_mat,
+                        )
+                    else:
+                        dense[grps[0]] = grp_dict[grps[0]]
+                if dense:
+                    build_chunk(nbls, nvecs, dense)
+                continue
+            build_chunk(nbls, nvecs, grp_dict)
 
     # ------------------------------------------------------------------ #
     # per-(time, pol) extraction

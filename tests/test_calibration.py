@@ -551,3 +551,52 @@ def test_correct_flags_matrix(sky_model_projected, gains):
     assert np.allclose(m2c.data_array, m1.data_array, atol=1e-5 * RMS(m1.data_array))
     # resid identical either way (computed from uncorrected model)
     assert np.allclose(r1.data_array, r2.data_array, atol=1e-7 * RMS(m1.data_array))
+
+
+def test_shared_basis_chunks(redundant_visdata):
+    """Redundant arrays: baselines sharing a DPSS operator get shared-basis
+    chunks (comps stored once), and the fit matches the dense path."""
+    uvd = redundant_visdata.copy()
+    uvd.select(bls=[ap for ap in uvd.get_antpairs() if ap[0] != ap[1]], inplace=True)
+    comps = models.yield_pbl_dpss_model_comps(uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3)
+    project_onto_dpss(uvd, comps)
+    gains0 = cal_utils.blank_uvcal_from_uvdata(uvd)
+    ants_map = {int(a): i for i, a in enumerate(gains0.ant_array)}
+    spec = FitSpec(uvd, comps, ants_map, dtype=np.float64, shared_basis=True)
+    shared = [c for c in spec.chunks if c.comps.shape[0] == 1 and c.a0.shape[0] > 1]
+    assert len(shared) >= 1  # the duplicated-triad pairs share operators
+    total_groups = sum(c.a0.shape[0] for c in spec.chunks)
+    assert total_groups == uvd.Nbls
+
+    common = dict(
+        min_dly=2.0 / 0.3, offset=2.0 / 0.3, uvdata=uvd, gains=gains0,
+        maxsteps=1500, tol=1e-10, correct_resid=True, correct_model=True,
+        model_regularization="post_hoc",
+    )
+    m1, r1, g1, _ = calibration.calibrate_and_model_dpss(shared_basis=True, **common)
+    m2, r2, g2, _ = calibration.calibrate_and_model_dpss(shared_basis=False, **common)
+    assert RMS(m1.data_array) >= 1e2 * RMS(r1.data_array)
+    # shared and dense packings converge to the same model
+    assert np.allclose(m1.data_array, m2.data_array,
+                       atol=1e-4 * RMS(m2.data_array), rtol=0)
+
+
+def test_shared_basis_time_parallel(redundant_visdata):
+    uvd = redundant_visdata.copy()
+    uvd.select(bls=[ap for ap in uvd.get_antpairs() if ap[0] != ap[1]], inplace=True)
+    comps = models.yield_pbl_dpss_model_comps(uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3)
+    project_onto_dpss(uvd, comps)
+    u2 = uvd.copy()
+    u2.time_array = u2.time_array + 2.0
+    both = uvd + u2
+    import calamity_tpu.parallel as par
+
+    mesh = par.make_mesh(n_data=2, n_bl=4)
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3, offset=2.0 / 0.3, uvdata=both, gains=None,
+        maxsteps=1500, tol=1e-10, correct_resid=True, correct_model=True,
+        model_regularization="post_hoc", shared_basis=True,
+        time_parallel=True, mesh=mesh,
+    )
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    assert len(hist[0]) == 2
