@@ -138,8 +138,10 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
     state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev0, big, best0, params, history0)
 
     def cond(state):
-        step, _, _, _, delta_max, _, _, _ = state
-        return jnp.logical_and(step < cfg.maxsteps, delta_max >= cfg.tol)
+        step, _, _, prev, delta_max, _, _, _ = state
+        ok = jnp.logical_and(step < cfg.maxsteps, delta_max >= cfg.tol)
+        # divergence watchdog (see solver.fit)
+        return jnp.logical_and(ok, jnp.all(jnp.isfinite(prev)))
 
     def body(state):
         step, params, opt_state, prev, _, best_loss, best_params, history = state

@@ -119,8 +119,11 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
     )
 
     def cond(state):
-        step, _, _, _, delta, _, _, _ = state
-        return jnp.logical_and(step < cfg.maxsteps, delta >= cfg.tol)
+        step, _, _, prev_loss, delta, _, _, _ = state
+        ok = jnp.logical_and(step < cfg.maxsteps, delta >= cfg.tol)
+        # divergence watchdog: a non-finite loss can never recover under
+        # Adam-family updates; stop instead of burning the step budget
+        return jnp.logical_and(ok, jnp.isfinite(prev_loss))
 
     def body(state):
         step, params, opt_state, prev_loss, _, best_loss, best_params, history = state
@@ -196,8 +199,9 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
               best_loss, best_params, history0)
 
     def cond(state):
-        step, _, _, _, delta, _, _, _ = state
-        return jnp.logical_and(step < seg_len, delta >= cfg.tol)
+        step, _, _, prev_loss, delta, _, _, _ = state
+        ok = jnp.logical_and(step < seg_len, delta >= cfg.tol)
+        return jnp.logical_and(ok, jnp.isfinite(prev_loss))
 
     def body(state):
         step, params, opt_state, prev, _, best_loss, best_params, history = state

@@ -600,3 +600,21 @@ def test_shared_basis_time_parallel(redundant_visdata):
     )
     assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
     assert len(hist[0]) == 2
+
+
+def test_divergence_watchdog(sky_model_projected, gains):
+    """A diverging fit (absurd learning rate) stops early instead of
+    burning the full step budget, and reports non-finite loss."""
+    model, resid, fitted, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=sky_model_projected,
+        gains=gains,
+        maxsteps=3000,
+        tol=0.0,
+        learning_rate=1e12,
+        model_regularization="post_hoc",
+    )
+    losses = np.asarray(hist[0][0]["loss"])
+    assert len(losses) < 3000  # stopped early
+    assert not np.isfinite(losses[-1])

@@ -158,3 +158,24 @@ def test_profiler_output(tmp_path, golomb_visdata):
     )
     assert os.path.exists(logdir)
     assert len(glob.glob(logdir + "/**/*", recursive=True)) > 0
+
+
+def test_multi_file_concat(tmp_path, golomb_visdata):
+    """Multiple input files concatenate along the time axis
+    (reference uvd.read(list) behavior, calibration.py:1757-1761)."""
+    u1 = golomb_visdata.copy()
+    u2 = golomb_visdata.copy()
+    u2.time_array = u2.time_array + 2.0
+    p1 = os.path.join(str(tmp_path), "a.uvh5")
+    p2 = os.path.join(str(tmp_path), "b.uvh5")
+    u1.write_uvh5(p1)
+    u2.write_uvh5(p2)
+    model, resid, gains, info = calibration.read_calibrate_and_model_dpss(
+        input_data_files=[p1, p2],
+        maxsteps=50,
+        tol=1e-8,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+    )
+    assert model.Ntimes == 2
+    assert len(info["fit_history"][0]) == 2 if "fit_history" in info else True
