@@ -315,9 +315,35 @@ class VisData:
     # ------------------------------------------------------------------ #
     # selection / concatenation
     # ------------------------------------------------------------------ #
-    def select(self, bls=None, times=None, inplace=True):
-        """Down-select along the blt axis by antenna pairs and/or times."""
+    def select(self, bls=None, times=None, freq_chans=None, frequencies=None,
+               polarizations=None, inplace=True):
+        """Down-select by antenna pairs, times, channels, and polarizations."""
         obj = self if inplace else self.copy()
+        if freq_chans is not None or frequencies is not None:
+            if freq_chans is None:
+                fmask = np.zeros(obj.Nfreqs, dtype=bool)
+                for f in np.atleast_1d(frequencies):
+                    fmask |= np.isclose(obj.freq_array[0], f, rtol=0.0, atol=1e-3)
+                freq_chans = np.nonzero(fmask)[0]
+            freq_chans = np.asarray(freq_chans)
+            obj.freq_array = obj.freq_array[:, freq_chans]
+            obj.data_array = obj.data_array[:, :, freq_chans, :]
+            obj.flag_array = obj.flag_array[:, :, freq_chans, :]
+            obj.nsample_array = obj.nsample_array[:, :, freq_chans, :]
+            if obj.Nfreqs != len(freq_chans):
+                obj.channel_width = float(np.median(np.diff(obj.freq_array[0]))) if len(
+                    freq_chans
+                ) > 1 else obj.channel_width
+        if polarizations is not None:
+            pinds = []
+            for p in polarizations:
+                pnum = polstr2num(p, x_orientation=obj.x_orientation)
+                pinds.append(int(np.nonzero(obj.polarization_array == pnum)[0][0]))
+            pinds = np.asarray(pinds)
+            obj.polarization_array = obj.polarization_array[pinds]
+            obj.data_array = obj.data_array[..., pinds]
+            obj.flag_array = obj.flag_array[..., pinds]
+            obj.nsample_array = obj.nsample_array[..., pinds]
         mask = np.ones(obj.Nblts, dtype=bool)
         if bls is not None:
             keep = set()

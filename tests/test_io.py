@@ -170,3 +170,19 @@ def test_noise_with_flags_fixture(noise_with_flags):
     assert noise_with_flags.flag_array.any()
     assert not noise_with_flags.flag_array.all()
     assert np.isfinite(noise_with_flags.data_array).all()
+
+
+def test_select_freqs_and_pols():
+    from calamity_tpu import simulate
+
+    uvd = simulate.make_golomb_array(nants=6, nfreqs=64, npols=2, seed=4)
+    sub = uvd.select(freq_chans=np.arange(16, 48), inplace=False)
+    assert sub.Nfreqs == 32
+    assert np.allclose(sub.freq_array[0], uvd.freq_array[0, 16:48])
+    assert sub.data_array.shape[2] == 32
+    sub2 = uvd.select(polarizations=["yy"], inplace=False)
+    assert sub2.Npols == 1
+    assert list(sub2.polarization_array) == [-6]
+    assert np.allclose(sub2.data_array[..., 0], uvd.data_array[..., 1])
+    sub3 = uvd.select(frequencies=uvd.freq_array[0, :8], inplace=False)
+    assert sub3.Nfreqs == 8
