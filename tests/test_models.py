@@ -202,3 +202,18 @@ def test_mixed_comps_small_groups_are_dpss(golomb_visdata):
     )
     # with a huge threshold everything is per-baseline DPSS: keys are 1-red-grp
     assert all(len(k) == 1 for k in comps)
+
+
+def test_point_source_sim_horizon_property():
+    """Simulated visibilities are delay-limited to the horizon |b|/c, so the
+    DPSS basis at horizon=1 with margin captures them."""
+    from calamity_tpu import simulate
+
+    freqs = 100e6 + 100e3 * np.arange(256)
+    blvec = np.array([[60.0, 25.0, 0.0]])
+    vis = simulate.point_source_visibilities(blvec, freqs, nsrc=40, seed=3)[0]
+    bllen = np.linalg.norm(blvec[0])
+    W = bllen / 0.3 / 1e9 * 1.05 + 20e-9  # horizon + margin
+    amat, _ = models.dpss.dpss_operator(freqs, W)
+    proj = amat @ (amat.T @ vis)
+    assert np.linalg.norm(vis - proj) / np.linalg.norm(vis) < 1e-4
