@@ -97,6 +97,7 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
             cmat, cf,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (F, 2)
         vr = v[:, 0]
         vi = v[:, 1]
@@ -138,6 +139,7 @@ def _bwd_kernel(comps_ref, v_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref, gbar_re
             dv, comps_ref[g],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (2, V)
         dpr_ref[g, :] = vr * dmr + vi * dmi
         dpi_ref[g, :] = vi * dmr - vr * dmi
