@@ -43,17 +43,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=10 * 2**20):
+_VMEM_LIMIT = 100 * 2**20  # raise Mosaic's 16MB scoped default (v5e: 128MB)
+
+
+def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=_VMEM_LIMIT // 3):
     """Largest group-tile in {32,16,8} dividing ngrps that fits VMEM.
 
     Tiles are multiples of 8: Mosaic requires the second-to-last block dim
     to be sublane-aligned (8) for every buffer whose block includes the
-    group axis."""
+    group axis. The budget is conservative (1/3 of the requested scoped
+    limit) because Pallas double-buffers input blocks and the unrolled dot
+    outputs are lane-padded."""
     for tg in (32, 16, 8):
         if ngrps % tg:
             continue
-        # comps tile + v tile + 5 (TG,F) buffers + coeffs
-        need = tg * nfreqs * nvecs * dtype_bytes + 7 * tg * nfreqs * dtype_bytes
+        # comps tile + v tile + 5 (TG,F) buffers + per-unroll padded dot outs
+        need = (
+            tg * nfreqs * nvecs * dtype_bytes
+            + 7 * tg * nfreqs * dtype_bytes
+            + tg * nfreqs * 128 * dtype_bytes // 2
+        )
         if need <= vmem_budget:
             return tg
     return None
@@ -175,6 +184,7 @@ def _fwd_call(coeffs2, pr, pi, comps3, dr, di, w):
             jax.ShapeDtypeStruct((2, ngrps, nfreqs), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(comps3, coeffs2, pr, pi, dr, di, w)
     return jnp.sum(loss_parts), v
 
@@ -208,6 +218,7 @@ def _bwd_call(v, pr, pi, comps3, dr, di, w, gbar):
             jax.ShapeDtypeStruct((ngrps, nfreqs), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(comps3, v, pr, pi, dr, di, w, gbar_arr)
     return dcoeffs, dpr, dpi
 
