@@ -192,7 +192,7 @@ def calibrate_and_model_tensor(
     resume=True,
     use_pallas=False,
     nvec_bucketing=False,
-    shared_basis=False,
+    shared_basis=True,
     **opt_kwargs,
 ):
     """Simultaneous gain calibration and foreground fitting.

@@ -190,11 +190,23 @@ class FitSpec:
             if shared_basis and nbls == 1:
                 import hashlib
 
+                # identity-first partition: the operator cache hands the SAME
+                # ndarray to every baseline of a given length, so id() catches
+                # virtually all sharing without hashing per group; one digest
+                # per distinct object merges equal-valued arrays from other
+                # sources (e.g. reloaded component dicts)
+                digests = {}
+
+                def _digest(mat):
+                    key = id(mat)
+                    if key not in digests:
+                        digests[key] = (mat.shape, hashlib.sha1(mat.tobytes()).hexdigest())
+                    return digests[key]
+
                 by_digest = {}
                 for fit_grp, mat in grp_dict.items():
                     mat = np.asarray(mat)
-                    key = (mat.shape, hashlib.sha1(mat.tobytes()).hexdigest())
-                    by_digest.setdefault(key, []).append(fit_grp)
+                    by_digest.setdefault(_digest(mat), []).append(fit_grp)
                 dense = {}
                 for key, grps in by_digest.items():
                     if len(grps) >= 2:
