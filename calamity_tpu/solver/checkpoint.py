@@ -37,8 +37,31 @@ def _leaf_paths(tree):
     return leaves, treedef
 
 
+def _orbax_state(ckpt: FitCheckpoint):
+    return {
+        "params": ckpt.params,
+        "opt_state": ckpt.opt_state,
+        "best_params": ckpt.best_params,
+        "step": np.asarray(int(ckpt.step)),
+        "prev_loss": np.asarray(float(ckpt.prev_loss)),
+        "best_loss": np.asarray(float(ckpt.best_loss)),
+        "history": np.asarray(ckpt.history, dtype=np.float64),
+    }
+
+
 def save_checkpoint(path, ckpt: FitCheckpoint):
-    """Persist a FitCheckpoint. Tries orbax; falls back to numpy+pickle."""
+    """Persist a FitCheckpoint: orbax (the TPU-native checkpoint library)
+    when importable, numpy+pickle otherwise."""
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = os.path.abspath(os.path.join(path, "orbax"))
+        ckptr.save(target, _orbax_state(ckpt))
+        ckptr.wait_until_finished()
+        return
+    except (ImportError, ValueError):
+        pass
     os.makedirs(path, exist_ok=True)
     state = {
         "params": ckpt.params,
@@ -65,6 +88,45 @@ def load_checkpoint(path, like: FitCheckpoint) -> FitCheckpoint:
     """Restore a FitCheckpoint saved by save_checkpoint.
 
     ``like`` provides the pytree structure/dtypes to restore into."""
+    orbax_path = os.path.abspath(os.path.join(path, "orbax"))
+    if os.path.isdir(orbax_path):
+        import warnings
+
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            # untargeted restore: the history length varies between
+            # checkpoints, so a typed target cannot be provided; structure
+            # is re-validated against ``like`` below
+            restored = ckptr.restore(orbax_path)
+
+        def into(like_tree, restored_tree, name):
+            # orbax restores tuples as lists; re-unflatten into the
+            # caller's structure and dtypes
+            leaves = jax.tree_util.tree_leaves(restored_tree)
+            like_leaves, treedef = jax.tree_util.tree_flatten(like_tree)
+            if len(leaves) != len(like_leaves):
+                raise ValueError(
+                    f"checkpoint {name} does not match the current fit structure"
+                )
+            leaves = [
+                jnp.asarray(leaf, dtype=ref.dtype)
+                for leaf, ref in zip(leaves, like_leaves)
+            ]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        return FitCheckpoint(
+            params=into(like.params, restored["params"], "params"),
+            opt_state=into(like.opt_state, restored["opt_state"], "opt_state"),
+            step=int(restored["step"]),
+            prev_loss=float(restored["prev_loss"]),
+            best_loss=float(restored["best_loss"]),
+            best_params=into(like.best_params, restored["best_params"], "best_params"),
+            history=np.asarray(restored["history"], dtype=np.float64),
+        )
     data = np.load(os.path.join(path, "state.npz"), allow_pickle=False)
     with open(os.path.join(path, "treedef.pkl"), "rb") as f:
         treedef = pickle.load(f)
