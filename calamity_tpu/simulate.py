@@ -151,6 +151,27 @@ def make_visdata(
     return obj
 
 
+def golomb_marks(nants):
+    """Marks of a (greedy) Golomb ruler: all pairwise differences distinct.
+
+    Exact optimal rulers for the 3- and 6-mark cases used by the test
+    fixtures; a greedy Sidon-set construction for any other count."""
+    if nants == 3:
+        return GOLOMB_3
+    if nants == 6:
+        return GOLOMB_6
+    marks = [0]
+    diffs = set()
+    candidate = 1
+    while len(marks) < nants:
+        new = [candidate - m for m in marks]
+        if all(d not in diffs for d in new) and len(set(new)) == len(new):
+            diffs.update(new)
+            marks.append(candidate)
+        candidate += 1
+    return np.asarray(marks, dtype=float)
+
+
 def make_golomb_array(
     nants=6,
     nfreqs=200,
@@ -159,8 +180,8 @@ def make_golomb_array(
     spacing=2.0,
     **kwargs,
 ):
-    """6-ant (or 3-ant) Golomb-ruler east-west array, point-source sky."""
-    marks = {6: GOLOMB_6, 3: GOLOMB_3}[nants]
+    """Golomb-ruler east-west array (no redundant baselines), point-source sky."""
+    marks = golomb_marks(nants)
     antpos = np.zeros((nants, 3))
     antpos[:, 0] = marks * spacing
     freqs = f0 + df * np.arange(nfreqs)
