@@ -618,3 +618,39 @@ def test_divergence_watchdog(sky_model_projected, gains):
     losses = np.asarray(hist[0][0]["loss"])
     assert len(losses) < 3000  # stopped early
     assert not np.isfinite(losses[-1])
+
+
+def test_mixed_save_dict_roundtrip(tmp_path, uvdata, gains_randomized, weights):
+    """save_dict_to persists the component dict; a reloaded dict feeds
+    model_comps_dict= for an identical fit (reference calibration.py:
+    1436-1442, 1471-1489)."""
+    import os
+
+    dict_path = os.path.join(str(tmp_path), "comps.npy")
+    common = dict(
+        min_dly=0.0,
+        offset=0.0,
+        ant_dly=2.0 / 3.0,
+        red_tol_freq=0.5,
+        uvdata=uvdata,
+        gains=gains_randomized,
+        freeze_model=True,
+        maxsteps=500,
+        tol=1e-10,
+        correct_resid=False,
+        correct_model=False,
+        weights=weights,
+        grp_size_threshold=1,
+        model_regularization="sum",
+    )
+    m1, r1, g1, _ = calibration.calibrate_and_model_mixed(
+        save_dict_to=dict_path, **common
+    )
+    assert os.path.exists(dict_path)
+    reloaded = np.load(dict_path, allow_pickle=True).item()
+    assert isinstance(reloaded, dict) and len(reloaded) > 0
+    m2, r2, g2, _ = calibration.calibrate_and_model_mixed(
+        model_comps_dict=reloaded, **common
+    )
+    assert np.allclose(m1.data_array, m2.data_array)
+    assert np.allclose(g1.gain_array, g2.gain_array)
