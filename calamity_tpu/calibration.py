@@ -260,9 +260,34 @@ def calibrate_and_model_tensor(
 
     if time_parallel:
         if init_guesses_from_previous_time_step:
-            raise ValueError(
-                "time_parallel is incompatible with "
-                "init_guesses_from_previous_time_step (slices run concurrently)"
+            if mesh is not None:
+                raise ValueError(
+                    "warm-started (sequential) scanning does not combine with "
+                    "a mesh yet; drop one of mesh / "
+                    "init_guesses_from_previous_time_step"
+                )
+            return _calibrate_time_scan(
+                uvdata=uvdata,
+                spec=spec,
+                chunks=chunks,
+                gains=gains,
+                sky_model=sky_model,
+                model=model,
+                resid=resid,
+                weights=weights,
+                nsamples_in_weights=nsamples_in_weights,
+                skip_threshold=skip_threshold,
+                use_model_snr_weights=use_model_snr_weights,
+                freeze_model=freeze_model,
+                optimizer=optimizer,
+                tol=tol,
+                maxsteps=maxsteps,
+                use_min=use_min,
+                model_regularization=model_regularization,
+                correct_model=correct_model,
+                correct_resid=correct_resid,
+                verbose=verbose,
+                opt_kwargs=opt_kwargs,
             )
         if mesh is None:
             import jax
@@ -431,6 +456,170 @@ def calibrate_and_model_tensor(
     if correct_resid:
         resid = cal_utils.apply_gains(resid, gains)
 
+    return model, resid, gains, fit_history
+
+
+def _calibrate_time_scan(
+    uvdata,
+    spec,
+    chunks,
+    gains,
+    sky_model,
+    model,
+    resid,
+    weights,
+    nsamples_in_weights,
+    skip_threshold,
+    use_model_snr_weights,
+    freeze_model,
+    optimizer,
+    tol,
+    maxsteps,
+    use_min,
+    model_regularization,
+    correct_model,
+    correct_resid,
+    verbose,
+    opt_kwargs,
+):
+    """Warm-started sequential fits over times, compiled as one lax.scan
+    per polarization (the compiled counterpart of the reference's
+    init_guesses_from_previous_time_step host loop, calibration.py:
+    1085-1087, 1210-1233)."""
+    import jax.numpy as jnp
+
+    from .parallel.batched import scanned_warmstart_fit_core
+    from .solver.fit import FitConfig
+
+    nchunks = len(chunks)
+    fit_history = {polnum: {} for polnum in range(uvdata.Npols)}
+    cfg = FitConfig(
+        optimizer=optimizer,
+        opt_kwargs=tuple(sorted(opt_kwargs.items())),
+        maxsteps=int(maxsteps),
+        tol=float(tol),
+        use_min=bool(use_min),
+        freeze_model=bool(freeze_model),
+        regularization="sum" if model_regularization == "sum" else None,
+    )
+    for polnum, pol in enumerate(uvdata.get_pols()):
+        usable = []  # (time_index, time, rms)
+        for time_index, time in enumerate(spec.times):
+            bltsel = np.isclose(uvdata.time_array, time, rtol=0.0, atol=1e-7)
+            frac = np.count_nonzero(~uvdata.flag_array[bltsel, 0, :, polnum]) / (
+                uvdata.Nbls * uvdata.Nfreqs
+            )
+            if frac < skip_threshold:
+                flag_poltime(resid, time=time, polarization=pol)
+                flag_poltime(gains, time=time, polarization=pol)
+                flag_poltime(model, time=time, polarization=pol)
+                continue
+            rms = np.sqrt(
+                np.mean(
+                    np.abs(
+                        uvdata.data_array[bltsel, 0, :, polnum][
+                            ~uvdata.flag_array[bltsel, 0, :, polnum]
+                        ]
+                    )
+                    ** 2.0
+                )
+            )
+            usable.append((time_index, time, rms))
+        if not usable:
+            continue
+
+        per = {k: [[] for _ in range(nchunks)] for k in ("dr", "di", "w")}
+        priors_r, priors_i = [], []
+        fg_init = None
+        wgts_first = None
+        for slot, (time_index, time, rms) in enumerate(usable):
+            data_r, data_i, wgts = spec.pack_data(
+                uvdata, pol, time, data_scale_factor=rms, weights=weights,
+                nsamples_in_weights=nsamples_in_weights,
+            )
+            if sky_model is not None:
+                sky_r, sky_i, _ = spec.pack_data(
+                    sky_model, pol, time, data_scale_factor=rms, weights=weights
+                )
+            else:
+                sky_r, sky_i = data_r, data_i
+            if slot == 0:
+                fg_init = (tuple(spec.init_coeffs(sky_r, wgts)),
+                           tuple(spec.init_coeffs(sky_i, wgts)))
+                wgts_first = wgts
+                if use_model_snr_weights:
+                    wmodel = fg_model_all_chunks(fg_init[0], fg_init[1], chunks)
+                    wgts = [
+                        (jnp.square(vr) + jnp.square(vi)) * w
+                        for (vr, vi), w in zip(wmodel, wgts)
+                    ]
+                    wsum = sum(float(jnp.sum(w)) for w in wgts)
+                    wgts = [w / wsum for w in wgts]
+                    wgts_first = wgts
+            elif use_model_snr_weights:
+                # warm-start semantics: weights fixed from the first time
+                # (reference only rebuilds them inside the init branch,
+                # calibration.py:1210-1242)
+                wgts = wgts_first
+            priors_r.append(sum(float(jnp.sum(sr * w)) for sr, w in zip(sky_r, wgts)))
+            priors_i.append(sum(float(jnp.sum(si * w)) for si, w in zip(sky_i, wgts)))
+            for cnum in range(nchunks):
+                per["dr"][cnum].append(data_r[cnum])
+                per["di"][cnum].append(data_i[cnum])
+                per["w"][cnum].append(wgts[cnum])
+
+        t0_index = usable[0][1]
+        g_r0, g_i0 = spec.pack_gains(gains, pol, usable[0][1])
+        stack = lambda lists: tuple(jnp.stack(x) for x in lists)
+        data_r_s = stack(per["dr"])
+        data_i_s = stack(per["di"])
+        wgts_s = stack(per["w"])
+        prior_r_s = jnp.asarray(np.asarray(priors_r, dtype=spec.dtype))
+        prior_i_s = jnp.asarray(np.asarray(priors_i, dtype=spec.dtype))
+
+        all_params, history, nsteps, finals = scanned_warmstart_fit_core(
+            cfg, chunks, data_r_s, data_i_s, wgts_s,
+            g_r0, g_i0, fg_init[0], fg_init[1], prior_r_s, prior_i_s,
+        )
+        history = np.asarray(history, dtype=np.float64)
+        nsteps = np.asarray(nsteps)
+        g_r_all = np.asarray(all_params[0])
+        g_i_all = np.asarray(all_params[1])
+        fg_r_all = [np.asarray(x) for x in all_params[2]]
+        fg_i_all = [np.asarray(x) for x in all_params[3]]
+        for slot, (time_index, time, rms) in enumerate(usable):
+            fit_history[polnum][time_index] = {
+                "loss": history[slot, : int(nsteps[slot])].tolist()
+            }
+            fg_r_s = tuple(jnp.asarray(fg_r_all[cnum][slot]) for cnum in range(nchunks))
+            fg_i_s = tuple(jnp.asarray(fg_i_all[cnum][slot]) for cnum in range(nchunks))
+            spec.insert_model(
+                model, fg_model_all_chunks(fg_r_s, fg_i_s, chunks), pol, time, rms
+            )
+            spec.insert_gains(gains, g_r_all[slot], g_i_all[slot], pol, time)
+            bltsel = np.isclose(uvdata.time_array, time, rtol=0.0, atol=1e-7)
+            if (
+                not freeze_model
+                and model_regularization == "post_hoc"
+                and np.any(~model.flag_array[bltsel])
+            ):
+                renormalize(
+                    uvdata_reference_model=sky_model,
+                    uvdata_deconv=model,
+                    gains=gains,
+                    polarization=pol,
+                    time=time,
+                    additional_flags=uvdata.flag_array,
+                )
+
+    model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
+    if not correct_model:
+        model = model_with_gains
+    resid.data_array -= model_with_gains.data_array
+    resid.data_array[model_with_gains.flag_array] = 0.0
+    resid.data_array[uvdata.flag_array] = 0.0
+    if correct_resid:
+        resid = cal_utils.apply_gains(resid, gains)
     return model, resid, gains, fit_history
 
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.loss import data_model, mse
+from ..ops.loss import chunked_loss, chunked_loss_sum_regularized, data_model, mse
 from ..solver.fit import FitConfig
 from ..solver.optimizers import get_optimizer
 
@@ -74,6 +74,112 @@ def batched_chunk_losses_sum_regularized(
     return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
         g_r, g_i, fg_r, fg_i, data_r, data_i, wgts, prior_r, prior_i
     )
+
+
+@partial(jax.jit, static_argnums=(0,))
+def scanned_warmstart_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts,
+                               g_r0, g_i0, fg_r0, fg_i0, prior_r, prior_i):
+    """Sequential warm-started fits over times, compiled as one lax.scan.
+
+    Reference semantics: with init_guesses_from_previous_time_step the
+    driver seeds each time's fit with the previous time's solution
+    (reference calibration.py:1085-1087, 1210-1233), looping times on the
+    host. Here the whole sequence is ONE program: scan carries the
+    parameters across times, each scan step runs the full while_loop
+    descent (fresh optimizer state per time, matching the reference's
+    per-fit optimizer construction at calibration.py:571).
+
+    data_r/data_i/wgts: tuples of (ntimes, ngrps, nbls, nfreqs) arrays;
+    g0/fg0: the time-0 initialization. Returns per-time parameters,
+    (ntimes, maxsteps) loss history, per-time step counts and final losses.
+    """
+    opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
+    dtype = g_r0.dtype
+    big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
+
+    def fit_one(params0, data_r_t, data_i_t, wgts_t, pr_t, pi_t):
+        if cfg.freeze_model:
+            g_params0 = params0[:2]
+            fg_const = params0[2:]
+
+            def loss_fn(p):
+                gr, gi = p
+                if cfg.regularization == "sum":
+                    return chunked_loss_sum_regularized(
+                        gr, gi, fg_const[0], fg_const[1], chunks,
+                        data_r_t, data_i_t, wgts_t, pr_t, pi_t,
+                    )
+                return chunked_loss(
+                    gr, gi, fg_const[0], fg_const[1], chunks,
+                    data_r_t, data_i_t, wgts_t, use_pallas=cfg.use_pallas,
+                )
+
+            p0 = g_params0
+        else:
+
+            def loss_fn(p):
+                gr, gi, fr, fi = p
+                if cfg.regularization == "sum":
+                    return chunked_loss_sum_regularized(
+                        gr, gi, fr, fi, chunks, data_r_t, data_i_t, wgts_t,
+                        pr_t, pi_t,
+                    )
+                return chunked_loss(
+                    gr, gi, fr, fi, chunks, data_r_t, data_i_t, wgts_t,
+                    use_pallas=cfg.use_pallas,
+                )
+
+            p0 = params0
+
+        vg = jax.value_and_grad(loss_fn)
+        opt_state = opt.init(p0)
+
+        def one_step(p, s):
+            loss, grads = vg(p)
+            updates, s = opt.update(grads, s, p)
+            return loss, optax.apply_updates(p, updates), s
+
+        _, p, opt_state = one_step(p0, opt_state)  # warm-up step
+        history0 = jnp.full((cfg.maxsteps,), jnp.nan, dtype=dtype)
+        state0 = (jnp.asarray(0, jnp.int32), p, opt_state, big, big, big, p, history0)
+
+        def cond(state):
+            step, _, _, prev, delta, _, _, _ = state
+            ok = jnp.logical_and(step < cfg.maxsteps, delta >= cfg.tol)
+            return jnp.logical_and(ok, jnp.isfinite(prev))
+
+        def body(state):
+            step, p, s, prev, _, best_loss, best_p, history = state
+            loss, new_p, new_s = one_step(p, s)
+            history = history.at[step].set(loss.astype(dtype))
+            delta = jnp.where(step >= 1, jnp.abs(loss - prev), big)
+            is_best = loss < best_loss
+            best_loss = jnp.minimum(loss, best_loss)
+            best_p = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(is_best, a, b), new_p, best_p
+            )
+            return (step + 1, new_p, new_s, loss, delta, best_loss, best_p, history)
+
+        step, p, _, last, _, best_loss, best_p, history = jax.lax.while_loop(
+            cond, body, state0
+        )
+        out_p = best_p if cfg.use_min else p
+        final = best_loss if cfg.use_min else last
+        if cfg.freeze_model:
+            out_params = out_p + fg_const
+        else:
+            out_params = out_p
+        return out_params, history, step, final
+
+    def scan_body(carry, xs):
+        dr, di, w, pr, pi = xs
+        out_params, history, nsteps, final = fit_one(carry, dr, di, w, pr, pi)
+        return out_params, (out_params, history, nsteps, final)
+
+    carry0 = (g_r0, g_i0, fg_r0, fg_i0)
+    xs = (data_r, data_i, wgts, prior_r, prior_i)
+    _, (all_params, history, nsteps, finals) = jax.lax.scan(scan_body, carry0, xs)
+    return all_params, history, nsteps, finals
 
 
 class BatchedFitResult(NamedTuple):

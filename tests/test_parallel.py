@@ -117,7 +117,34 @@ def test_time_parallel_skip_flagged(projected_multitime):
         assert np.all(model.get_flags(ap + ("xx",))[0])
 
 
-def test_time_parallel_rejects_warm_start(projected_multitime):
+def test_time_parallel_warm_start_scan(projected_multitime):
+    """time_parallel + init_guesses_from_previous_time_step: the compiled
+    scan carries parameters across times; later times converge in fewer
+    recorded steps than the cold first time."""
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        gains=None,
+        maxsteps=2000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        init_guesses_from_previous_time_step=True,
+    )
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    assert len(hist[0]) == 3
+    n0 = len(hist[0][0]["loss"])
+    # warm-started later times start near the solution (same sky per time
+    # in this fixture), so they stop far earlier
+    assert len(hist[0][1]["loss"]) < n0
+    assert len(hist[0][2]["loss"]) < n0
+
+
+def test_time_scan_rejects_mesh(projected_multitime):
+    mesh = parallel.make_mesh(n_data=2, n_bl=4)
     with pytest.raises(ValueError):
         calibration.calibrate_and_model_dpss(
             min_dly=2.0 / 0.3,
@@ -125,5 +152,6 @@ def test_time_parallel_rejects_warm_start(projected_multitime):
             uvdata=projected_multitime,
             gains=None,
             time_parallel=True,
+            mesh=mesh,
             init_guesses_from_previous_time_step=True,
         )
