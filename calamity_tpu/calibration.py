@@ -568,7 +568,7 @@ def _calibrate_time_scan(
                 per["di"][cnum].append(data_i[cnum])
                 per["w"][cnum].append(wgts[cnum])
 
-        t0_index = usable[0][1]
+
         g_r0, g_i0 = spec.pack_gains(gains, pol, usable[0][1])
         stack = lambda lists: tuple(jnp.stack(x) for x in lists)
         data_r_s = stack(per["dr"])
