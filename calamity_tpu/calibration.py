@@ -778,13 +778,19 @@ def _calibrate_time_parallel(
     )
     fg_r_b, fg_i_b, data_r_b, data_i_b, wgts_b = [], [], [], [], []
     fit_chunks = []
+    shared_batched = []
     for cnum in range(nchunks):
         comps, a0, a1 = chunks[cnum]
         ngrps = a0.shape[0]
-        ngrps_pad = -(-ngrps // n_bl) * n_bl
-        # shared-basis chunks keep their single comps matrix (group dim 1)
+        # shared-BATCHED chunks (1 < U < ngrps) rely on the ngrps = U * gmax
+        # layout: group padding would misalign groups to operators, so these
+        # chunks keep their group axis and replicate over 'bl' instead
+        is_sb = 1 < comps.shape[0] < ngrps
+        shared_batched.append(is_sb)
+        ngrps_pad = ngrps if is_sb else -(-ngrps // n_bl) * n_bl
+        # plain shared chunks keep their single comps matrix (group dim 1)
         comps_pad = (
-            comps if comps.shape[0] == 1 and ngrps > 1
+            comps if comps.shape[0] != ngrps
             else _pad_axis(comps, 0, ngrps_pad)
         )
         fit_chunks.append(
@@ -814,20 +820,41 @@ def _calibrate_time_parallel(
         from jax.sharding import NamedSharding, PartitionSpec
 
         replicated4 = NamedSharding(mesh, PartitionSpec(None, None, None, None))
+        ants_nobl = NamedSharding(mesh, PartitionSpec(None, None))
+        coeffs_nobl = NamedSharding(mesh, PartitionSpec("data", None, None))
+        data_nobl = NamedSharding(mesh, PartitionSpec("data", None, None, None))
         fit_chunks = tuple(
             (
-                # shared comps (group dim 1) replicate across the mesh
-                jax.device_put(c, sh["comps"] if c.shape[0] > 1 else replicated4),
-                jax.device_put(a0, sh["ants"]),
-                jax.device_put(a1, sh["ants"]),
+                # comps shard over 'bl' only when carried per group; shared /
+                # shared-batched operator tables replicate
+                jax.device_put(
+                    c, sh["comps"] if c.shape[0] == a0.shape[0] else replicated4
+                ),
+                jax.device_put(a0, sh["ants"] if not sb else ants_nobl),
+                jax.device_put(a1, sh["ants"] if not sb else ants_nobl),
             )
-            for c, a0, a1 in fit_chunks
+            for (c, a0, a1), sb in zip(fit_chunks, shared_batched)
         )
-        fg_r_b = [jax.device_put(x, sh["coeffs"]) for x in fg_r_b]
-        fg_i_b = [jax.device_put(x, sh["coeffs"]) for x in fg_i_b]
-        data_r_b = [jax.device_put(x, sh["data"]) for x in data_r_b]
-        data_i_b = [jax.device_put(x, sh["data"]) for x in data_i_b]
-        wgts_b = [jax.device_put(x, sh["data"]) for x in wgts_b]
+        fg_r_b = [
+            jax.device_put(x, sh["coeffs"] if not sb else coeffs_nobl)
+            for x, sb in zip(fg_r_b, shared_batched)
+        ]
+        fg_i_b = [
+            jax.device_put(x, sh["coeffs"] if not sb else coeffs_nobl)
+            for x, sb in zip(fg_i_b, shared_batched)
+        ]
+        data_r_b = [
+            jax.device_put(x, sh["data"] if not sb else data_nobl)
+            for x, sb in zip(data_r_b, shared_batched)
+        ]
+        data_i_b = [
+            jax.device_put(x, sh["data"] if not sb else data_nobl)
+            for x, sb in zip(data_i_b, shared_batched)
+        ]
+        wgts_b = [
+            jax.device_put(x, sh["data"] if not sb else data_nobl)
+            for x, sb in zip(wgts_b, shared_batched)
+        ]
     else:
         fit_chunks = tuple(fit_chunks)
 

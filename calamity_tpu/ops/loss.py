@@ -50,12 +50,27 @@ def fg_model(coeffs_r, coeffs_i, comps, precision=jax.lax.Precision.HIGHEST):
     cutting the dominant traffic by the redundancy factor."""
     coeffs = jnp.stack([coeffs_r, coeffs_i], axis=0)  # (2, ngrps, nvecs)
     ngrps = coeffs.shape[1]
-    if comps.shape[0] == 1 and ngrps > 1:
+    nu = comps.shape[0]
+    if nu == 1 and ngrps > 1:
         # shared basis: (F, V) contracted against all groups at once
         v = jnp.einsum(
             "bfv,kgv->kgbf", comps[0], coeffs,
             preferred_element_type=comps.dtype, precision=precision,
         )
+        return v[0], v[1]
+    if 1 < nu < ngrps:
+        # shared-BATCHED basis: ngrps = nu * gmax groups arranged so that
+        # each block of gmax consecutive groups shares operator u — one
+        # batched (F, V) x (V, 2*gmax) matmul per unique operator instead
+        # of one chunk per operator (keeps the compiled program ~O(buckets)
+        # for arrays with thousands of unique spacings)
+        gmax = ngrps // nu
+        c = coeffs.reshape(2, nu, gmax, coeffs.shape[-1])
+        v = jnp.einsum(
+            "ubfv,kugv->kugbf", comps, c,
+            preferred_element_type=comps.dtype, precision=precision,
+        )
+        v = v.reshape(2, ngrps, comps.shape[1], comps.shape[2])
         return v[0], v[1]
     v = jnp.einsum(
         "gbfv,kgv->kgbf", comps, coeffs,

@@ -67,6 +67,24 @@ def init_coeffs_from_cholesky(chol, active, comps, data, wgts):
         y = jax.scipy.linalg.solve_triangular(chol0, rhs.T, lower=True)
         x = jax.scipy.linalg.solve_triangular(chol0.T, y, lower=False)
         return x.T * active.reshape(1, nvecs)
+    if 1 < ngrps_c < ngrps:
+        # shared-batched: blocks of gmax groups share each operator
+        nu = ngrps_c
+        gmax = ngrps // nu
+        amat = comps.reshape(nu, nbls * nfreqs, nvecs)
+        dblk = dvec.reshape(nu, gmax, nbls * nfreqs)
+        rhs = jnp.einsum(
+            "unv,ugn->ugv", amat, dblk,
+            preferred_element_type=amat.dtype, precision=jax.lax.Precision.HIGHEST,
+        )  # (nu, gmax, nvecs)
+        y = jax.scipy.linalg.solve_triangular(
+            chol, jnp.swapaxes(rhs, 1, 2), lower=True
+        )  # (nu, nvecs, gmax)
+        x = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(chol, 1, 2), y, lower=False
+        )
+        coeffs = jnp.swapaxes(x, 1, 2).reshape(ngrps, nvecs)
+        return coeffs * jnp.repeat(active, gmax, axis=0)
     amat = comps.reshape(ngrps, nbls * nfreqs, nvecs)
     rhs = jnp.einsum(
         "gnv,gn->gv", amat, dvec,

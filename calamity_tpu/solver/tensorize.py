@@ -91,10 +91,11 @@ class ChunkArrays(NamedTuple):
 class ChunkMeta(NamedTuple):
     """Host-side bookkeeping for extraction and write-back."""
 
-    fit_grps: List  # fitting-group keys in packing order
+    fit_grps: List  # fitting-group keys in packing order (None for padding)
     antpairs: np.ndarray  # (ngrps, nbls, 2) canonical antenna numbers
     rows: np.ndarray  # (ntimes, ngrps, nbls) int32 blt rows
     conj: np.ndarray  # (ngrps, nbls) bool
+    valid: np.ndarray  # (ngrps, nbls) bool — False on padding entries
 
 
 class FitSpec:
@@ -184,7 +185,46 @@ class FitSpec:
             self.chunks.append(
                 ChunkArrays(jnp.asarray(comps), jnp.asarray(a0), jnp.asarray(a1))
             )
-            self.meta.append(ChunkMeta(fit_grps, antpairs, rows, conj))
+            self.meta.append(
+                ChunkMeta(fit_grps, antpairs, rows, conj, np.ones((ngrps, nbls), bool))
+            )
+
+        def build_shared_batched(classes, nvec_bucket, gmax):
+            """Pack a bucket of operator classes into ONE shared-batched chunk.
+
+            classes: list of (shared_mat, [fit_grp, ...]) with class sizes in
+            (gmax//2, gmax]. Groups are laid out class-major and padded to
+            gmax per class with zero-weight dummy entries, so the forward
+            pass is a single batched matmul over the U operators
+            (see ops.loss.fg_model) and the compiled program stays
+            O(buckets) rather than O(unique operators)."""
+            nu = len(classes)
+            ngrps = nu * gmax
+            comps = np.zeros((nu, 1, nfreqs, nvec_bucket), dtype=self.dtype)
+            a0 = np.zeros((ngrps, 1), dtype=np.int32)
+            a1 = np.zeros((ngrps, 1), dtype=np.int32)
+            rows = np.zeros((self.ntimes, ngrps, 1), dtype=np.int32)
+            conj = np.zeros((ngrps, 1), dtype=bool)
+            antpairs = np.full((ngrps, 1, 2), -1, dtype=np.int64)
+            valid = np.zeros((ngrps, 1), dtype=bool)
+            fit_grps = [None] * ngrps
+            for u, (mat, grps) in enumerate(classes):
+                comps[u, 0, :, : mat.shape[1]] = mat.astype(self.dtype)
+                for k, fit_grp in enumerate(grps):
+                    g = u * gmax + k
+                    ap = fit_grp[0][0]
+                    fit_grps[g] = fit_grp
+                    a0[g, 0] = self.ants_map[ap[0]]
+                    a1[g, 0] = self.ants_map[ap[1]]
+                    antpairs[g, 0] = ap
+                    r, c = lookup(ap)
+                    rows[:, g, 0] = r
+                    conj[g, 0] = c
+                    valid[g, 0] = True
+            self.chunks.append(
+                ChunkArrays(jnp.asarray(comps), jnp.asarray(a0), jnp.asarray(a1))
+            )
+            self.meta.append(ChunkMeta(fit_grps, antpairs, rows, conj, valid))
 
         for (nbls, nvecs), grp_dict in chunked.items():
             if shared_basis and nbls == 1:
@@ -208,17 +248,39 @@ class FitSpec:
                     mat = np.asarray(mat)
                     by_digest.setdefault(_digest(mat), []).append(fit_grp)
                 dense = {}
+                shared_classes = []
                 for key, grps in by_digest.items():
-                    if len(grps) >= 2:
-                        shared_mat = np.asarray(grp_dict[grps[0]])
+                    if len(grps) >= 2 and all(
+                        len(fg) == 1 and len(fg[0]) == 1 for fg in grps
+                    ):
+                        shared_classes.append((np.asarray(grp_dict[grps[0]]), grps))
+                    else:
+                        for fg in grps:
+                            dense[fg] = grp_dict[fg]
+                # bucket classes by (nvec pow2, class-size pow2): one batched
+                # chunk per bucket keeps the program small when thousands of
+                # operators exist (full HERA with outriggers)
+                def pow2(n):
+                    b = 1
+                    while b < n:
+                        b *= 2
+                    return b
+
+                buckets = {}
+                for mat, grps in shared_classes:
+                    buckets.setdefault(
+                        (pow2(mat.shape[1]), pow2(len(grps))), []
+                    ).append((mat, grps))
+                for (vb, gb), classes in buckets.items():
+                    if len(classes) == 1 and len(classes[0][1]) == gb:
+                        # exactly one full class: plain shared chunk, no padding
+                        mat, grps = classes[0]
                         build_chunk(
-                            nbls,
-                            shared_mat.shape[1],
-                            {g: grp_dict[g] for g in grps},
-                            shared_mat=shared_mat,
+                            nbls, mat.shape[1],
+                            {g: grp_dict[g] for g in grps}, shared_mat=mat,
                         )
                     else:
-                        dense[grps[0]] = grp_dict[grps[0]]
+                        build_shared_batched(classes, vb, gb)
                 if dense:
                     build_chunk(nbls, nvecs, dense)
                 continue
@@ -284,6 +346,8 @@ class FitSpec:
                 ngrps, nbls = rows.shape
                 for g in range(ngrps):
                     for b in range(nbls):
+                        if not meta.valid[g, b]:
+                            continue
                         ap = tuple(meta.antpairs[g, b])
                         wrow = wrow_map.get(ap, wrow_map.get(ap[::-1]))
                         if wrow is None:
@@ -292,6 +356,7 @@ class FitSpec:
                 w = w * (~flg)
             if nsamples_in_weights:
                 w = w * nsmp
+            w = w * meta.valid[..., None]  # zero-weight padding entries
             wgtsum += float(np.sum(w))
             data_r.append(dr)
             data_i.append(di)
@@ -338,10 +403,11 @@ class FitSpec:
             vi = np.asarray(vi, dtype=np.float64)
             vals = (vr + 1j * vi) * scale_factor
             vals = np.where(meta.conj[..., None], np.conj(vals), vals)
-            rows = meta.rows[tind]
-            visdata_model.data_array[rows.reshape(-1), 0, :, pind] = vals.reshape(
+            rows = meta.rows[tind].reshape(-1)
+            keep = meta.valid.reshape(-1)  # padding entries must not write
+            visdata_model.data_array[rows[keep], 0, :, pind] = vals.reshape(
                 -1, self.nfreqs
-            )
+            )[keep]
 
     def insert_gains(self, caldata, g_r, g_i, polarization, time):
         """Write fitted gains back into a CalData

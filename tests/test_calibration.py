@@ -563,10 +563,13 @@ def test_shared_basis_chunks(redundant_visdata):
     gains0 = cal_utils.blank_uvcal_from_uvdata(uvd)
     ants_map = {int(a): i for i, a in enumerate(gains0.ant_array)}
     spec = FitSpec(uvd, comps, ants_map, dtype=np.float64, shared_basis=True)
-    shared = [c for c in spec.chunks if c.comps.shape[0] == 1 and c.a0.shape[0] > 1]
+    shared = [
+        c for c in spec.chunks
+        if c.comps.shape[0] < c.a0.shape[0]
+    ]
     assert len(shared) >= 1  # the duplicated-triad pairs share operators
-    total_groups = sum(c.a0.shape[0] for c in spec.chunks)
-    assert total_groups == uvd.Nbls
+    total_valid = sum(int(m.valid.sum()) for m in spec.meta)
+    assert total_valid == uvd.Nbls
 
     common = dict(
         min_dly=2.0 / 0.3, offset=2.0 / 0.3, uvdata=uvd, gains=gains0,
@@ -654,3 +657,75 @@ def test_mixed_save_dict_roundtrip(tmp_path, uvdata, gains_randomized, weights):
     )
     assert np.allclose(m1.data_array, m2.data_array)
     assert np.allclose(g1.gain_array, g2.gain_array)
+
+
+def test_shared_batched_grid_core():
+    """Grid-core array: many operator classes bucket into shared-BATCHED
+    chunks (1 < U < ngrps, padded classes), and the fit matches the dense
+    packing exactly."""
+    import itertools
+
+    from calamity_tpu.io.visdata import VisData
+
+    n = 5
+    spacing = 14.6
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    antpos = np.zeros((n * n, 3))
+    antpos[:, 0] = xs.ravel() * spacing
+    antpos[:, 1] = ys.ravel() * spacing
+    pairs, vecs = [], []
+    for i, j in itertools.combinations(range(n * n), 2):
+        v = antpos[j] - antpos[i]
+        if np.linalg.norm(v) <= 2.1 * spacing:
+            pairs.append((i, j))
+            vecs.append(v)
+    vecs = np.asarray(vecs)
+    nbls = len(pairs)
+    freqs = 100e6 + 100e3 * np.arange(64)
+    uniq, inverse = np.unique(np.round(vecs, 6), axis=0, return_inverse=True)
+    vis_uniq = simulate.point_source_visibilities(uniq, freqs, nsrc=20, seed=2)
+    data = vis_uniq[inverse]
+    uvd = VisData(
+        telescope_name="GRID", instrument="GRID",
+        latitude=simulate.HERA_LAT, longitude=simulate.HERA_LON,
+        altitude=simulate.HERA_ALT, channel_width=100e3,
+        ant_1_array=np.asarray([p[0] for p in pairs], dtype=np.int64),
+        ant_2_array=np.asarray([p[1] for p in pairs], dtype=np.int64),
+        antenna_numbers=np.arange(n * n, dtype=np.int64),
+        antenna_names=[f"A{i}" for i in range(n * n)],
+        antenna_positions=simulate._enu_to_ecef_rel(
+            antpos, simulate.HERA_LAT, simulate.HERA_LON
+        ),
+        freq_array=freqs[None, :],
+        integration_time=np.full(nbls, 10.7),
+        lst_array=np.zeros(nbls),
+        polarization_array=np.asarray([-5], dtype=np.int64),
+        time_array=np.full(nbls, 2459122.25),
+        uvw_array=vecs,
+        data_array=data[:, None, :, None].astype(np.complex128),
+        flag_array=np.zeros((nbls, 1, 64, 1), dtype=bool),
+        nsample_array=np.ones((nbls, 1, 64, 1), dtype=np.float32),
+    )
+    comps = models.yield_pbl_dpss_model_comps(uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3)
+    project_onto_dpss(uvd, comps)
+    gains0 = cal_utils.blank_uvcal_from_uvdata(uvd)
+    ants_map = {int(a): i for i, a in enumerate(gains0.ant_array)}
+    spec = FitSpec(uvd, comps, ants_map, dtype=np.float64, shared_basis=True)
+    batched = [
+        (c, m) for c, m in zip(spec.chunks, spec.meta)
+        if 1 < c.comps.shape[0] < c.a0.shape[0]
+    ]
+    assert batched, "grid core must produce shared-batched chunks"
+    assert any(not m.valid.all() for c, m in batched), "padding entries expected"
+    assert sum(int(m.valid.sum()) for m in spec.meta) == uvd.Nbls
+
+    common = dict(
+        min_dly=2.0 / 0.3, offset=2.0 / 0.3, uvdata=uvd, gains=gains0,
+        fg_model_comps_dict=comps, maxsteps=1000, tol=1e-11,
+        correct_resid=True, correct_model=True, model_regularization="post_hoc",
+    )
+    m1, r1, g1, _ = calibration.calibrate_and_model_dpss(shared_basis=True, **common)
+    m2, r2, g2, _ = calibration.calibrate_and_model_dpss(shared_basis=False, **common)
+    assert RMS(m1.data_array) >= 1e2 * RMS(r1.data_array)
+    assert np.allclose(m1.data_array, m2.data_array,
+                       atol=1e-4 * RMS(m2.data_array), rtol=0)
