@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Full-HERA-scale demo: 331-antenna hex lattice, ALL baselines, full band.
+
+The BASELINE north star is a 350-antenna x 1536-channel fit. This demo
+builds a complete hexagonal lattice (rings=10 -> 331 antennas at HERA's
+14.6 m pitch), keeps EVERY cross baseline (54,615 of them), and runs the
+blind self-cal on one chip. The shared-batched packing makes this tractable:
+the lattice has only a few hundred unique baseline vectors, so the basis
+operators and foreground components are stored per unique spacing and
+bucketed into a handful of batched-matmul chunks.
+
+    python examples/hera_full_demo.py                  # TPU if present
+    python examples/hera_full_demo.py --rings 4 --nfreqs 256 --backend cpu
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def hex_lattice(rings, pitch):
+    pts = []
+    for i in range(-rings, rings + 1):
+        for j in range(-rings, rings + 1):
+            if abs(i + j) <= rings:
+                pts.append((pitch * (i + j / 2.0), pitch * j * np.sqrt(3) / 2.0, 0.0))
+    return np.asarray(pts)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rings", type=int, default=10, help="hex rings (10 -> 331 ants)")
+    ap.add_argument("--pitch", type=float, default=14.6)
+    ap.add_argument("--nfreqs", type=int, default=1536)
+    ap.add_argument("--nsrc", type=int, default=50)
+    ap.add_argument("--maxsteps", type=int, default=2000)
+    ap.add_argument("--tol", type=float, default=1e-11)
+    ap.add_argument("--backend", default="default", choices=["cpu", "default"])
+    args = ap.parse_args()
+
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from calamity_tpu import cal_utils, calibration, models, simulate
+    from calamity_tpu.io.visdata import VisData
+
+    rng = np.random.default_rng(13)
+
+    def stage(label):
+        print(f"[{time.strftime('%H:%M:%S')}] {label}", file=sys.stderr, flush=True)
+
+    antpos = hex_lattice(args.rings, args.pitch)
+    nants = len(antpos)
+    # all cross baselines
+    iu, ju = np.triu_indices(nants, k=1)
+    vecs = antpos[ju] - antpos[iu]
+    nbls = len(vecs)
+    uniq, inverse = np.unique(np.round(vecs, 6), axis=0, return_inverse=True)
+    stage(f"{nants} antennas, {nbls} baselines, {len(uniq)} unique spacings")
+
+    stage("simulating + projecting per unique spacing")
+    t0 = time.time()
+    freqs = 100e6 + 100e3 * np.arange(args.nfreqs)
+    vis_uniq = simulate.point_source_visibilities(uniq, freqs, nsrc=args.nsrc, seed=1)
+    cache = {}
+    lengths = np.linalg.norm(uniq, axis=1)
+    for u in range(len(uniq)):
+        mat = models.yield_dpss_model_comps_bl_grp(
+            lengths[u], freqs, min_dly=10.0, offset=10.0, operator_cache=cache
+        )
+        vis_uniq[u] = mat @ (mat.T @ vis_uniq[u])
+    data = vis_uniq[inverse]
+    t_sim = time.time() - t0
+    stage(f"  {len(cache)} distinct operators")
+
+    uvd = VisData(
+        telescope_name="HERA-FULL-SIM",
+        instrument="HERA-FULL-SIM",
+        latitude=simulate.HERA_LAT,
+        longitude=simulate.HERA_LON,
+        altitude=simulate.HERA_ALT,
+        channel_width=100e3,
+        ant_1_array=iu.astype(np.int64),
+        ant_2_array=ju.astype(np.int64),
+        antenna_numbers=np.arange(nants, dtype=np.int64),
+        antenna_names=[f"ANT{i}" for i in range(nants)],
+        antenna_positions=simulate._enu_to_ecef_rel(antpos, simulate.HERA_LAT,
+                                                    simulate.HERA_LON),
+        freq_array=freqs[None, :],
+        integration_time=np.full(nbls, 10.7),
+        lst_array=np.zeros(nbls),
+        polarization_array=np.asarray([-5], dtype=np.int64),
+        time_array=np.full(nbls, 2459122.25),
+        uvw_array=vecs,
+        data_array=data[:, None, :, None].astype(np.complex128),
+        flag_array=np.zeros((nbls, 1, args.nfreqs, 1), dtype=bool),
+        nsample_array=np.ones((nbls, 1, args.nfreqs, 1), dtype=np.float32),
+    )
+    del data, vis_uniq
+
+    stage("building component dict")
+    t0 = time.time()
+    comps = models.yield_pbl_dpss_model_comps(uvd, min_dly=10.0, offset=10.0)
+    t_basis = time.time() - t0
+
+    truth = cal_utils.blank_uvcal_from_uvdata(uvd)
+    truth.gain_array = truth.gain_array * (
+        1 + 0.03 * rng.standard_normal(truth.gain_array.shape)
+        + 0.03j * rng.standard_normal(truth.gain_array.shape)
+    )
+    corrupted = cal_utils.apply_gains(uvd, truth, inverse=True)
+    del uvd
+
+    stage(f"fitting on backend={jax.default_backend()}")
+    t0 = time.time()
+    model, resid, gains, info = calibration.calibrate_and_model_dpss(
+        uvdata=corrupted,
+        gains=None,
+        fg_model_comps_dict=comps,
+        maxsteps=args.maxsteps,
+        tol=args.tol,
+        learning_rate=1e-2,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        nvec_bucketing=True,
+    )
+    t_fit = time.time() - t0
+
+    rms = lambda x: np.sqrt(np.mean(np.abs(x) ** 2))
+    nsteps = len(info[0][0]["loss"])
+    print(f"\n=== full-HERA demo: {nants} ants / {nbls} baselines / "
+          f"{args.nfreqs} channels / {len(uniq)} unique spacings ===")
+    print(f"sim+proj  : {t_sim:7.1f}s")
+    print(f"basis     : {t_basis:7.1f}s")
+    print(f"fit       : {t_fit:7.1f}s ({nsteps} steps, "
+          f"{1e3 * t_fit / max(nsteps, 1):.2f} ms/step incl. compile+packing)")
+    print(f"loss      : {info[0][0]['loss'][0]:.3e} -> {info[0][0]['loss'][-1]:.3e}")
+    print(f"model/resid: {rms(model.data_array) / rms(resid.data_array):.1f}x")
+    print(f"data/resid : {rms(corrupted.data_array) / rms(resid.data_array):.1f}x")
+
+
+if __name__ == "__main__":
+    main()
