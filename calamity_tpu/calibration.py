@@ -191,6 +191,7 @@ def calibrate_and_model_tensor(
     checkpoint_every=1000,
     resume=True,
     use_pallas=False,
+    remat=False,
     nvec_bucketing=False,
     shared_basis=True,
     **opt_kwargs,
@@ -426,6 +427,7 @@ def calibrate_and_model_tensor(
                 checkpoint_every=checkpoint_every,
                 resume=resume,
                 use_pallas=use_pallas,
+                remat=remat,
                 **opt_kwargs,
             )
             spec.insert_model(

@@ -109,14 +109,30 @@ def mse(model_r, model_i, data_r, data_i, wgts):
     return jnp.sum((jnp.square(data_r - model_r) + jnp.square(data_i - model_i)) * wgts)
 
 
-def chunked_loss(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, use_pallas=False):
+def _chunk_term(g_r, g_i, fr, fi, comps, a0, a1, dr, di, w):
+    model_r, model_i = data_model(g_r, g_i, fr, fi, comps, a0, a1)
+    return mse(model_r, model_i, dr, di, w)
+
+
+_chunk_term_remat = jax.checkpoint(_chunk_term)
+
+
+def chunked_loss(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, use_pallas=False,
+                 remat=False):
     """Sum of per-chunk weighted chi-square (reference mse_chunked, calibration.py:1612-1620).
 
     chunks: tuple of (comps, a0, a1) triples; fg_r/fg_i/data_*/wgts: matching tuples.
     With ``use_pallas`` and a conforming chunk shape, the forward+loss is the
     fused Pallas kernel (ops.fused) — one streaming pass over comps.
+
+    ``remat`` wraps each chunk's term in jax.checkpoint so the backward pass
+    recomputes the foreground model instead of saving (ngrps, nbls, nfreqs)
+    activations per chunk — the standard memory/FLOPs trade that lets
+    full-array fits (tens of thousands of baselines x full band) stay within
+    single-chip HBM.
     """
     total = jnp.zeros((), dtype=g_r.dtype)
+    term = _chunk_term_remat if remat else _chunk_term
     for cnum, (comps, a0, a1) in enumerate(chunks):
         if use_pallas:
             from .fused import fused_chunk_loss, fused_loss_applicable
@@ -134,8 +150,10 @@ def chunked_loss(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, use_pallas=
                     wgts[cnum][:, 0],
                 )
                 continue
-        model_r, model_i = data_model(g_r, g_i, fg_r[cnum], fg_i[cnum], comps, a0, a1)
-        total = total + mse(model_r, model_i, data_r[cnum], data_i[cnum], wgts[cnum])
+        total = total + term(
+            g_r, g_i, fg_r[cnum], fg_i[cnum], comps, a0, a1,
+            data_r[cnum], data_i[cnum], wgts[cnum],
+        )
     return total
 
 

@@ -45,6 +45,7 @@ class FitConfig(NamedTuple):
     freeze_model: bool = False
     regularization: Optional[str] = None
     use_pallas: bool = False
+    remat: bool = False
 
 
 class FitResult(NamedTuple):
@@ -78,7 +79,7 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
                     prior_r_sum, prior_i_sum,
                 )
             return chunked_loss(gr, gi, fg_r, fg_i, chunks, data_r, data_i, wgts,
-                                use_pallas=cfg.use_pallas)
+                                use_pallas=cfg.use_pallas, remat=cfg.remat)
 
     else:
         params0 = (g_r, g_i, fg_r, fg_i)
@@ -91,7 +92,7 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
                     prior_r_sum, prior_i_sum,
                 )
             return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
-                                use_pallas=cfg.use_pallas)
+                                use_pallas=cfg.use_pallas, remat=cfg.remat)
 
     vg = jax.value_and_grad(loss_fn)
     opt_state0 = opt.init(params0)
@@ -180,7 +181,8 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
                     prior_r_sum, prior_i_sum,
                 )
             return chunked_loss(gr, gi, fg_r_const, fg_i_const, chunks, data_r,
-                                data_i, wgts, use_pallas=cfg.use_pallas)
+                                data_i, wgts, use_pallas=cfg.use_pallas,
+                                remat=cfg.remat)
     else:
         def loss_fn(p):
             gr, gi, fr, fi = p
@@ -190,7 +192,7 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
                     prior_r_sum, prior_i_sum,
                 )
             return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
-                                use_pallas=cfg.use_pallas)
+                                use_pallas=cfg.use_pallas, remat=cfg.remat)
 
     vg = jax.value_and_grad(loss_fn)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
@@ -340,6 +342,7 @@ def fit_gains_and_foregrounds(
     checkpoint_every=1000,
     resume=True,
     use_pallas=False,
+    remat=False,
     **opt_kwargs,
 ):
     """Run the gradient-descent fit for one (time, pol) slice.
@@ -366,6 +369,7 @@ def fit_gains_and_foregrounds(
         freeze_model=bool(freeze_model),
         regularization=regularization,
         use_pallas=bool(use_pallas),
+        remat=bool(remat),
     )
 
     fg_r = tuple(fg_r)

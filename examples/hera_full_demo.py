@@ -128,6 +128,7 @@ def main():
         correct_model=True,
         model_regularization="post_hoc",
         nvec_bucketing=True,
+        remat=True,
     )
     t_fit = time.time() - t0
 

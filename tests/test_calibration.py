@@ -729,3 +729,19 @@ def test_shared_batched_grid_core():
     assert RMS(m1.data_array) >= 1e2 * RMS(r1.data_array)
     assert np.allclose(m1.data_array, m2.data_array,
                        atol=1e-4 * RMS(m2.data_array), rtol=0)
+
+
+def test_remat_matches_default(sky_model_projected, gains):
+    """remat=True produces the same fit (recompute-in-backward only trades
+    memory for FLOPs)."""
+    common = dict(
+        min_dly=2.0 / 0.3, offset=2.0 / 0.3, uvdata=sky_model_projected,
+        gains=gains, maxsteps=500, tol=1e-10, correct_resid=True,
+        correct_model=True, model_regularization="post_hoc",
+    )
+    m1, r1, g1, h1 = calibration.calibrate_and_model_dpss(remat=True, **common)
+    m2, r2, g2, h2 = calibration.calibrate_and_model_dpss(remat=False, **common)
+    assert np.allclose(m1.data_array, m2.data_array, atol=1e-6 * RMS(m2.data_array))
+    assert np.allclose(
+        np.asarray(h1[0][0]["loss"]), np.asarray(h2[0][0]["loss"]), rtol=1e-5
+    )
