@@ -105,6 +105,23 @@ def polnum2str(num, x_orientation=None):
     return base
 
 
+# conjugating a visibility swaps the feed order: xy <-> yx, rl <-> lr;
+# parallel-hand and pseudo-Stokes pols are their own conjugates
+_CONJ_POL = {-7: -8, -8: -7, -3: -4, -4: -3}
+
+
+def conj_pol(pol, x_orientation=None):
+    """Polarization of the conjugated visibility (pyuvdata conj_pol parity).
+
+    Accepts an AIPS integer or a string; returns the same type.
+    """
+    if not isinstance(pol, str):
+        num = int(pol)
+        return _CONJ_POL.get(num, num)
+    num = polstr2num(pol, x_orientation=x_orientation)
+    return polnum2str(_CONJ_POL.get(num, num), x_orientation=x_orientation)
+
+
 def jstr2num(jones, x_orientation=None):
     """Convert a Jones string ("Jxx", "Jee") to its integer."""
     if isinstance(jones, int):

@@ -21,7 +21,7 @@ import copy as _copy
 import h5py
 import numpy as np
 
-from .polarizations import polnum2str, polstr2num
+from .polarizations import conj_pol, polnum2str, polstr2num
 
 _STR_FIELDS = (
     "telescope_name",
@@ -247,7 +247,22 @@ class VisData:
         conj = self.antpair2ind(a2, a1) if a1 != a2 else np.array([], dtype=int)
         if len(direct) > 0:
             conj = np.array([], dtype=int)
-        return direct, conj, (pol_ind, pol_ind)
+        # conjugating a cross-hand visibility flips the pol (xy <-> yx);
+        # the conj slot carries the conjugate-pol column index
+        return direct, conj, (pol_ind, self._conj_pol_ind(polnum, required=len(conj) > 0))
+
+    def _conj_pol_ind(self, polnum, required=False):
+        """Column index of the conjugate polarization of AIPS number polnum."""
+        cnum = conj_pol(polnum)
+        matches = np.nonzero(self.polarization_array == cnum)[0]
+        if len(matches) == 0:
+            if required:
+                raise KeyError(
+                    f"conjugate polarization {polnum2str(cnum)} not present "
+                    "(needed to read a conjugated cross-hand baseline)"
+                )
+            return -1
+        return int(matches[0])
 
     def _bl_time_rows(self, ant1, ant2):
         """Blt rows for an antpair sorted by time, plus conjugation flag."""
@@ -265,27 +280,31 @@ class VisData:
             key = key[0]
         a1, a2, pol = key
         inds, conj = self._bl_time_rows(a1, a2)
-        polnum = polstr2num(pol, x_orientation=self.x_orientation)
-        pind = int(np.nonzero(self.polarization_array == polnum)[0][0])
+        pind = self._pol_ind_for_rows(pol, conj)
         out = self.data_array[inds, 0, :, pind]
         return np.conj(out) if conj else out
+
+    def _pol_ind_for_rows(self, pol, conj):
+        """Pol column to read: the conjugate pol when rows are conjugated."""
+        polnum = polstr2num(pol, x_orientation=self.x_orientation)
+        if conj:
+            return self._conj_pol_ind(polnum, required=True)
+        return int(np.nonzero(self.polarization_array == polnum)[0][0])
 
     def get_flags(self, *key):
         if len(key) == 1:
             key = key[0]
         a1, a2, pol = key
-        inds, _ = self._bl_time_rows(a1, a2)
-        polnum = polstr2num(pol, x_orientation=self.x_orientation)
-        pind = int(np.nonzero(self.polarization_array == polnum)[0][0])
+        inds, conj = self._bl_time_rows(a1, a2)
+        pind = self._pol_ind_for_rows(pol, conj)
         return self.flag_array[inds, 0, :, pind]
 
     def get_nsamples(self, *key):
         if len(key) == 1:
             key = key[0]
         a1, a2, pol = key
-        inds, _ = self._bl_time_rows(a1, a2)
-        polnum = polstr2num(pol, x_orientation=self.x_orientation)
-        pind = int(np.nonzero(self.polarization_array == polnum)[0][0])
+        inds, conj = self._bl_time_rows(a1, a2)
+        pind = self._pol_ind_for_rows(pol, conj)
         return self.nsample_array[inds, 0, :, pind]
 
     def get_ENU_antpos(self, pick_data_ants=True):

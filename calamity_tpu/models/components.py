@@ -98,6 +98,9 @@ def yield_pbl_model_comps(
         f"{datetime.datetime.now()} Computing {basis.upper()} modeling vectors...\n",
         verbose=verbose,
     )
+    # eigenval_cutoff only applies to the DPSS basis (reference forwards it
+    # to dspec.dpss_operator, modeling.py:294); the DFT basis has no cutoff
+    basis_kwargs = {"eigenval_cutoff": eigenval_cutoff} if basis == "dpss" else {}
     for grpnum in PBARS[notebook_progressbar](range(len(fitting_grps))):
         bllen = np.linalg.norm(vec_bin_centers[grpnum])
         modeling_vectors[fitting_grps[grpnum]] = basis_fn(
@@ -107,6 +110,7 @@ def yield_pbl_model_comps(
             horizon=horizon,
             min_dly=min_dly,
             operator_cache=operator_cache,
+            **basis_kwargs,
         )
     return modeling_vectors
 

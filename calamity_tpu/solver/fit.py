@@ -290,6 +290,16 @@ def _fit_checkpointed(cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
         )
         nsteps_seg = int(nsteps_seg)
         converged = bool(conv)
+        if nsteps_seg == 0:
+            # divergence watchdog (parity with _fit_core's cond): a segment
+            # that takes zero steps means prev_loss is non-finite on entry;
+            # looping again would rewrite the same checkpoint forever
+            echo(
+                f"{datetime.datetime.now()} Divergence detected at step "
+                f"{step_total} (non-finite loss); stopping.",
+                verbose=verbose,
+            )
+            break
         history_all = np.concatenate(
             [history_all, np.asarray(hist_seg[:nsteps_seg], dtype=np.float64)]
         )

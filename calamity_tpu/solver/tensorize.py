@@ -28,7 +28,7 @@ from typing import Any, Dict, List, NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.polarizations import polstr2num
+from ..io.polarizations import conj_pol, polstr2num
 
 
 def chunk_fitting_groups(fg_model_comps_dict, use_redundancy=False, grp_size_threshold=5,
@@ -289,6 +289,16 @@ class FitSpec:
     # ------------------------------------------------------------------ #
     # per-(time, pol) extraction
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _conj_pol_ind(visdata, polnum):
+        """Column index of conj(polnum) in visdata; == direct index for
+        parallel-hand pols, -1 if the conjugate pol is absent."""
+        cnum = conj_pol(polnum)
+        if cnum == polnum:
+            return int(np.nonzero(visdata.polarization_array == polnum)[0][0])
+        matches = np.nonzero(visdata.polarization_array == cnum)[0]
+        return int(matches[0]) if len(matches) else -1
+
     def time_index(self, time):
         idx = np.nonzero(np.isclose(self.times, time, rtol=0.0, atol=1e-7))[0]
         if len(idx) == 0:
@@ -312,6 +322,7 @@ class FitSpec:
         tind = self.time_index(time)
         polnum = polstr2num(polarization, x_orientation=visdata.x_orientation)
         pind = int(np.nonzero(visdata.polarization_array == polnum)[0][0])
+        pind_c = self._conj_pol_ind(visdata, polnum)
 
         wrow_map = None
         wpind = None
@@ -333,10 +344,35 @@ class FitSpec:
         wgtsum = 0.0
         for meta in self.meta:
             rows = meta.rows[tind]  # (ngrps, nbls)
-            vals = visdata.data_array[rows, 0, :, pind] / data_scale_factor
-            flg = visdata.flag_array[rows, 0, :, pind]
-            nsmp = visdata.nsample_array[rows, 0, :, pind]
             cj = meta.conj[..., None]
+            if pind_c == pind or not meta.conj.any():
+                vals = visdata.data_array[rows, 0, :, pind]
+                flg = visdata.flag_array[rows, 0, :, pind]
+                nsmp = visdata.nsample_array[rows, 0, :, pind]
+            else:
+                # conjugated rows of a cross-hand pol live in the conjugate
+                # pol column (xy stored as yx) — pyuvdata flips it; so do we
+                if pind_c < 0:
+                    raise KeyError(
+                        f"conjugate polarization of {polarization} not present "
+                        "(needed to read conjugated cross-hand baselines)"
+                    )
+                vals = np.where(
+                    cj,
+                    visdata.data_array[rows, 0, :, pind_c],
+                    visdata.data_array[rows, 0, :, pind],
+                )
+                flg = np.where(
+                    cj,
+                    visdata.flag_array[rows, 0, :, pind_c],
+                    visdata.flag_array[rows, 0, :, pind],
+                )
+                nsmp = np.where(
+                    cj,
+                    visdata.nsample_array[rows, 0, :, pind_c],
+                    visdata.nsample_array[rows, 0, :, pind],
+                )
+            vals = vals / data_scale_factor
             dr = vals.real.astype(self.dtype)
             di = np.where(cj, -vals.imag, vals.imag).astype(self.dtype)
             if weights is None:
@@ -398,6 +434,7 @@ class FitSpec:
         tind = self.time_index(time)
         polnum = polstr2num(polarization, x_orientation=visdata_model.x_orientation)
         pind = int(np.nonzero(visdata_model.polarization_array == polnum)[0][0])
+        pind_c = self._conj_pol_ind(visdata_model, polnum)
         for meta, (vr, vi) in zip(self.meta, model_chunks):
             vr = np.asarray(vr, dtype=np.float64)
             vi = np.asarray(vi, dtype=np.float64)
@@ -405,9 +442,21 @@ class FitSpec:
             vals = np.where(meta.conj[..., None], np.conj(vals), vals)
             rows = meta.rows[tind].reshape(-1)
             keep = meta.valid.reshape(-1)  # padding entries must not write
-            visdata_model.data_array[rows[keep], 0, :, pind] = vals.reshape(
-                -1, self.nfreqs
-            )[keep]
+            # conjugated rows of a cross-hand pol store the conjugate pol
+            if pind_c != pind and meta.conj.any():
+                if pind_c < 0:
+                    raise KeyError(
+                        f"conjugate polarization of {polarization} not present"
+                    )
+                cj = meta.conj.reshape(-1)
+                pcol = np.where(cj, pind_c, pind)[keep]
+                visdata_model.data_array[rows[keep], 0, :, pcol] = vals.reshape(
+                    -1, self.nfreqs
+                )[keep]
+            else:
+                visdata_model.data_array[rows[keep], 0, :, pind] = vals.reshape(
+                    -1, self.nfreqs
+                )[keep]
 
     def insert_gains(self, caldata, g_r, g_i, polarization, time):
         """Write fitted gains back into a CalData

@@ -70,3 +70,24 @@ def test_fresh_run_ignores_checkpoints_when_resume_false(tmp_path, projected):
     _run(projected, ckdir, maxsteps=60)
     model, resid, gains, hist = _run(projected, ckdir, maxsteps=60, resume=False)
     assert len(hist[0][0]["loss"]) == 60
+
+
+def test_checkpointed_divergence_terminates(tmp_path, projected):
+    """A diverging checkpointed fit must terminate instead of rewriting the
+    same checkpoint forever (ADVICE r1, high severity)."""
+    ckdir = str(tmp_path / "dv")
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected,
+        gains=None,
+        maxsteps=500,
+        tol=0.0,
+        learning_rate=1e12,
+        model_regularization="post_hoc",
+        checkpoint_dir=ckdir,
+        checkpoint_every=50,
+    )
+    losses = np.asarray(hist[0][0]["loss"])
+    assert len(losses) < 500  # stopped early, did not hang
+    assert not np.isfinite(losses[-1])

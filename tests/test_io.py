@@ -186,3 +186,87 @@ def test_select_freqs_and_pols():
     assert np.allclose(sub2.data_array[..., 0], uvd.data_array[..., 1])
     sub3 = uvd.select(frequencies=uvd.freq_array[0, :8], inplace=False)
     assert sub3.Nfreqs == 8
+
+
+def _flip_row_orientation(uvd, row):
+    """Re-store blt ``row`` in the conjugated orientation: swap antennas,
+    negate uvw, conjugate data with the cross-hand pol columns exchanged
+    (V'_{ji,p} = conj(V_{ij,conj(p)}) — the uvh5 storage freedom pyuvdata
+    handles via _key2inds pol flipping)."""
+    a1, a2 = int(uvd.ant_1_array[row]), int(uvd.ant_2_array[row])
+    uvd.ant_1_array[row], uvd.ant_2_array[row] = a2, a1
+    uvd.uvw_array[row] = -uvd.uvw_array[row]
+    # pol order in fixtures is [xx, yy, xy, yx] -> conj perm [xx, yy, yx, xy]
+    perm = [0, 1, 3, 2]
+    uvd.data_array[row] = np.conj(uvd.data_array[row][..., perm])
+    uvd.flag_array[row] = uvd.flag_array[row][..., perm]
+    uvd.nsample_array[row] = uvd.nsample_array[row][..., perm]
+    uvd._sync_metadata()
+
+
+def test_cross_pol_conjugation():
+    """Conjugated cross-hand baselines must read the conjugate pol column
+    (xy <-> yx), as pyuvdata's _key2inds does (ADVICE r1)."""
+    from calamity_tpu import simulate
+    from calamity_tpu.io.polarizations import conj_pol
+
+    assert conj_pol("xy") == "yx"
+    assert conj_pol(-7) == -8
+    assert conj_pol(-8) == -7
+    assert conj_pol("xx") == "xx"
+    assert conj_pol("rl") == "lr"
+
+    uvd = simulate.make_golomb_array(nants=3, nfreqs=16, npols=4, seed=2)
+    # make the 4 pol columns distinct
+    uvd.data_array = uvd.data_array * (1.0 + np.arange(4))[None, None, None, :]
+    row = 0
+    a1, a2 = int(uvd.ant_1_array[row]), int(uvd.ant_2_array[row])
+    truth = {p: uvd.get_data((a1, a2, p)).copy() for p in ("xx", "xy", "yx")}
+    _flip_row_orientation(uvd, row)
+    assert (a1, a2) not in uvd.get_antpairs()
+    for p in ("xx", "xy", "yx"):
+        got = uvd.get_data((a1, a2, p))
+        assert np.allclose(got, truth[p]), f"pol {p} mis-read on conjugated row"
+    # _key2inds reports the conjugate pol index in the conj slot
+    _, cinds, (pd, pc) = uvd._key2inds((a1, a2, "xy"))
+    assert len(cinds) == 1 and pd == 2 and pc == 3
+
+
+def test_cross_pol_pack_data():
+    """FitSpec.pack_data pulls the conjugate pol column on conjugated rows."""
+    from calamity_tpu import simulate
+    from calamity_tpu.models.components import yield_pbl_dpss_model_comps
+    from calamity_tpu.solver.tensorize import FitSpec
+
+    uvd = simulate.make_golomb_array(nants=3, nfreqs=16, npols=4, seed=2)
+    uvd.data_array = uvd.data_array * (1.0 + np.arange(4))[None, None, None, :]
+    truth = uvd.copy()
+    _flip_row_orientation(uvd, 0)
+    comps = yield_pbl_dpss_model_comps(truth)
+    ants_map = {a: i for i, a in enumerate(sorted({*uvd.ant_1_array, *uvd.ant_2_array}))}
+    spec = FitSpec(uvd, comps, ants_map, dtype=np.float64)
+    t = spec.times[0]
+    for pol in ("xy", "yx"):
+        data_r, data_i, _ = spec.pack_data(uvd, pol, t)
+        for meta, dr, di in zip(spec.meta, data_r, data_i):
+            for g in range(meta.antpairs.shape[0]):
+                ap = tuple(meta.antpairs[g, 0])
+                want = truth.get_data(ap + (pol,))[0]
+                got = np.asarray(dr)[g, 0] + 1j * np.asarray(di)[g, 0]
+                assert np.allclose(got, want), (pol, ap)
+
+    # model insertion writes conj model into the conjugate pol column
+    model = uvd.copy()
+    chunks = []
+    for meta in spec.meta:
+        nfreqs = spec.nfreqs
+        ng = meta.antpairs.shape[0]
+        vr = np.arange(ng * nfreqs, dtype=float).reshape(ng, 1, nfreqs)
+        vi = vr + 0.5
+        chunks.append((vr, vi))
+    spec.insert_model(model, chunks, "xy", t)
+    for meta, (vr, vi) in zip(spec.meta, chunks):
+        for g in range(meta.antpairs.shape[0]):
+            ap = tuple(meta.antpairs[g, 0])
+            got = model.get_data(ap + ("xy",))[0]
+            assert np.allclose(got, vr[g, 0] + 1j * vi[g, 0]), ap

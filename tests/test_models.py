@@ -217,3 +217,15 @@ def test_point_source_sim_horizon_property():
     amat, _ = models.dpss.dpss_operator(freqs, W)
     proj = amat @ (amat.T @ vis)
     assert np.linalg.norm(vis - proj) / np.linalg.norm(vis) < 1e-4
+
+
+def test_pbl_eigenval_cutoff_forwarded(golomb_visdata):
+    """eigenval_cutoff must reach the DPSS operator (ADVICE r1): a looser
+    cutoff keeps fewer modes."""
+    from calamity_tpu.models.components import yield_pbl_dpss_model_comps
+
+    tight = yield_pbl_dpss_model_comps(golomb_visdata, eigenval_cutoff=1e-12)
+    loose = yield_pbl_dpss_model_comps(golomb_visdata, eigenval_cutoff=1e-2)
+    n_tight = sum(m.shape[1] for m in tight.values())
+    n_loose = sum(m.shape[1] for m in loose.values())
+    assert n_loose < n_tight
