@@ -1,95 +1,137 @@
-"""Version and provenance info (reference parity: calamity/version.py)."""
+"""Package version and output-file provenance.
+
+Fills the role of the reference's ``calamity/version.py`` (git-shelling
+version info + ``history_string`` headers for written files) with a fresh
+implementation: the installed distribution version comes from
+``importlib.metadata`` when available, and the git state is probed with a
+single ``git log``/``status`` call instead of per-field subprocesses.
+"""
 
 from __future__ import annotations
 
-import inspect
-import json
 import os
 import subprocess
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
-package_dir = os.path.dirname(os.path.realpath(__file__))
+_PKG_DIR = os.path.dirname(os.path.realpath(__file__))
 
-__version__ = "0.1.0"
+try:  # installed distribution metadata, if any
+    from importlib.metadata import PackageNotFoundError
+    from importlib.metadata import version as _dist_version
+
+    try:
+        __version__ = _dist_version("calamity-tpu")
+    except PackageNotFoundError:
+        __version__ = "0.1.0"
+except ImportError:  # pragma: no cover
+    __version__ = "0.1.0"
 
 
-def _get_git_output(args, capture_stderr=False):
-    argv = ["git", "-C", package_dir] + args
-    if capture_stderr:
-        data = subprocess.check_output(argv, stderr=subprocess.STDOUT)
-    else:
-        data = subprocess.check_output(argv)
-    return data.strip().decode("utf8")
+@dataclass
+class GitState:
+    """Snapshot of the repository state the package is running from."""
+
+    commit: str = ""
+    branch: str = ""
+    origin: str = ""
+    dirty: bool = False
+    describe: str = ""
+
+    def as_dict(self):
+        return {
+            "commit": self.commit,
+            "branch": self.branch,
+            "origin": self.origin,
+            "dirty": self.dirty,
+            "describe": self.describe,
+        }
 
 
-def _get_gitinfo_file(git_file=None):
-    if git_file is None:
-        git_file = os.path.join(package_dir, "GIT_INFO")
-    with open(git_file) as data_file:
-        data = [x for x in json.loads(data_file.read().strip())]
-    return {
-        "git_origin": data[0],
-        "git_hash": data[1],
-        "git_description": data[2],
-        "git_branch": data[3],
-    }
+def probe_git_state(path=_PKG_DIR):
+    """Best-effort git snapshot; empty fields when not in a checkout."""
+    state = GitState()
+
+    def run(*args):
+        return subprocess.run(
+            ["git", "-C", path, *args],
+            capture_output=True, text=True, timeout=10,
+        )
+
+    try:
+        head = run("log", "-1", "--format=%H")
+        if head.returncode != 0:
+            return state
+        state.commit = head.stdout.strip()
+        state.branch = run("branch", "--show-current").stdout.strip()
+        state.origin = run("remote", "get-url", "origin").stdout.strip()
+        state.dirty = bool(run("status", "--porcelain").stdout.strip())
+        desc = run("describe", "--tags", "--always").stdout.strip()
+        state.describe = desc + ("-dirty" if state.dirty else "")
+    except (OSError, subprocess.TimeoutExpired):  # pragma: no cover
+        pass
+    return state
+
+
+@dataclass
+class VersionInfo:
+    version: str = __version__
+    git: GitState = field(default_factory=probe_git_state)
+
+    def __getitem__(self, key):
+        # mapping-style access for reference-API compatibility
+        # (construct_version_info() returned a dict)
+        if key == "version":
+            return self.version
+        mapped = {
+            "git_origin": self.git.origin,
+            "git_hash": self.git.commit,
+            "git_branch": self.git.branch,
+            "git_description": self.git.describe,
+        }
+        return mapped[key]
 
 
 def construct_version_info():
-    version_info = {
-        "version": __version__,
-        "git_origin": "",
-        "git_hash": "",
-        "git_description": "",
-        "git_branch": "",
-    }
-    try:
-        version_info["git_origin"] = _get_git_output(
-            ["config", "--get", "remote.origin.url"], capture_stderr=True
-        )
-        version_info["git_hash"] = _get_git_output(["rev-parse", "HEAD"], capture_stderr=True)
-        version_info["git_description"] = _get_git_output(
-            ["describe", "--dirty", "--tag", "--always"]
-        )
-        version_info["git_branch"] = _get_git_output(
-            ["rev-parse", "--abbrev-ref", "HEAD"], capture_stderr=True
-        )
-    except (subprocess.CalledProcessError, OSError):  # pragma: no cover
-        try:
-            version_info.update(_get_gitinfo_file())
-        except (IOError, OSError):
-            pass
-    return version_info
+    """Reference-named accessor: package + git provenance snapshot."""
+    return VersionInfo()
 
 
 def history_string(notes=""):
-    """Standardized provenance string for file headers."""
-    stack = inspect.stack()
-    caller = stack[1] if len(stack) > 1 else None
-    history = "\n------------\nThis file was produced by the function "
-    if caller is not None:
-        history += str(caller[3]) + "() in " + os.path.basename(caller[1])
-    history += " using: "
-    version_info = construct_version_info()
-    for v in sorted(version_info.keys()):
-        history += "\n    " + v + ": " + str(version_info[v])
+    """Provenance block appended to the ``history`` of written files.
+
+    Same role as the reference's history_string (version.py:76-88): record
+    enough to trace an output file back to the code that made it.
+    """
+    info = construct_version_info()
+    lines = [
+        "",
+        "[calamity_tpu provenance]",
+        f"  written: {datetime.now(timezone.utc).isoformat(timespec='seconds')}",
+        f"  version: {info.version}",
+    ]
+    if info.git.commit:
+        lines.append(f"  git: {info.git.describe} ({info.git.branch})")
+    if info.git.origin:
+        lines.append(f"  origin: {info.git.origin}")
     if notes:
-        history += "\n\nNotes:\n" + notes
-    return history + "\n------------\n"
+        lines.append(f"  notes: {notes}")
+    lines.append("[end provenance]")
+    return "\n".join(lines) + "\n"
 
 
+# module-level snapshot (import-time, like the reference's tail)
 version_info = construct_version_info()
-version = version_info["version"]
-git_origin = version_info["git_origin"]
-git_hash = version_info["git_hash"]
-git_description = version_info["git_description"]
-git_branch = version_info["git_branch"]
+version = version_info.version
+git_hash = version_info.git.commit
+git_branch = version_info.git.branch
+git_origin = version_info.git.origin
+git_description = version_info.git.describe
 
 
 def main():  # pragma: no cover
-    print(f"Version = {version}")
-    print(f"git origin = {git_origin}")
-    print(f"git branch = {git_branch}")
-    print(f"git description = {git_description}")
+    for k, v in {"version": version, **version_info.git.as_dict()}.items():
+        print(f"{k}: {v}")
 
 
 if __name__ == "__main__":  # pragma: no cover

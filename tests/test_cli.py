@@ -57,7 +57,7 @@ def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata):
     back = VisData.from_uvh5(outfile_model)
     assert np.isfinite(back.data_array).all()
     # provenance string is recorded in output history
-    assert "This file was produced by" in back.history
+    assert "[calamity_tpu provenance]" in back.history
     gback = CalData.from_calfits(outfile_gain)
     assert gback.x_orientation == "east"
     assert "calibration_kwargs" in fit_info
