@@ -875,13 +875,21 @@ def _calibrate_time_parallel(
     )
     nsteps = int(result.nsteps)
     history = np.asarray(result.loss_history[:nsteps], dtype=np.float64)  # (nsteps, nbatch)
+    nsteps_slice = (
+        np.asarray(result.nsteps_slice)
+        if result.nsteps_slice is not None
+        else np.full(len(slices), nsteps)
+    )
     g_r_out = np.asarray(result.g_r)
     g_i_out = np.asarray(result.g_i)
     fg_r_out = [np.asarray(x) for x in result.fg_r]
     fg_i_out = [np.asarray(x) for x in result.fg_i]
 
     for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
-        fit_history[polnum][time_index] = {"loss": history[:, b].tolist()}
+        # per-slice history ends at that slice's convergence step
+        fit_history[polnum][time_index] = {
+            "loss": history[: int(nsteps_slice[b]), b].tolist()
+        }
         fg_r_s = tuple(
             jnp.asarray(fg_r_out[cnum][b, : chunks[cnum][1].shape[0]])
             for cnum in range(nchunks)
@@ -1235,9 +1243,12 @@ def fitting_argparser():
                     help="Return the argmin-loss parameters (guards momentum overshoot).")
     sp.add_argument("--use_redundancy", default=False, action="store_true",
                     help="Share foreground coefficients within redundant groups.")
-    sp.add_argument("--correct_model", default=True, action="store_true",
+    # BooleanOptionalAction so the True-default is actually disableable
+    # (--no-correct_model); the reference's store_true with default=True
+    # makes the flag unreachable from the shell (its calibration.py:1888)
+    sp.add_argument("--correct_model", default=True, action=argparse.BooleanOptionalAction,
                     help="Remove gain effects from the foreground model.")
-    sp.add_argument("--correct_resid", default=False, action="store_true",
+    sp.add_argument("--correct_resid", default=False, action=argparse.BooleanOptionalAction,
                     help="Apply fitted gains to the residuals.")
     sp.add_argument("--graph_mode", default=False, action="store_true",
                     help="Accepted for parity; jit compilation is always on.")
@@ -1251,7 +1262,7 @@ def fitting_argparser():
     sp.add_argument("--skip_threshold", type=float, default=0.5,
                     help="Skip and flag a (time, pol) if more than this fraction is flagged.")
     sp.add_argument("--model_regularization", type=str, default="post_hoc")
-    sp.add_argument("--nsamples_in_weights", default=False, action="store_true",
+    sp.add_argument("--nsamples_in_weights", default=False, action=argparse.BooleanOptionalAction,
                     help="Weight the loss by nsamples.")
     sp.add_argument("--use_model_snr_weights", default=False, action="store_true",
                     help="Weight the loss proportional to model SNR.")

@@ -11,9 +11,12 @@ and runs ONE jit-compiled descent for the whole batch:
 
 The loss is the sum over the batch; each slice's chi-square is independent,
 so the summed gradient updates every slice exactly as its own descent would
-(Adam-family updates are elementwise). Convergence uses the max |delta loss|
-across the batch so the loop runs until the slowest slice converges; the
-per-slice loss history is recorded on device.
+(Adam-family updates are elementwise). Convergence is tracked PER SLICE: a
+slice whose |delta loss| drops below tol (or whose loss goes non-finite) is
+frozen — its parameters and optimizer state stop moving, matching the
+serial per-fit early-stop semantics — while unconverged slices keep
+stepping until all freeze or maxsteps. The per-slice loss history and step
+counts are recorded on device.
 
 Sharded over a ('data', 'bl') mesh (parallel.mesh), this is the pjit'd
 "full-array, full-band calibration as one optimization" path from
@@ -188,8 +191,9 @@ class BatchedFitResult(NamedTuple):
     fg_r: Any
     fg_i: Any
     loss_history: Any  # (maxsteps, nbatch)
-    nsteps: Any
+    nsteps: Any  # scalar: global steps taken
     final_loss: Any  # (nbatch,)
+    nsteps_slice: Any = None  # (nbatch,): per-slice steps until convergence
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -241,20 +245,44 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     prev0 = jnp.full((nbatch,), big, dtype=dtype)
     best0 = jnp.full((nbatch,), big, dtype=dtype)
-    state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev0, big, best0, params, history0)
+    # per-slice freeze mask: once a slice converges (|delta loss| < tol) or
+    # diverges (non-finite loss) its parameters and optimizer state stop
+    # moving, matching the reference's per-fit early stop semantics
+    # (reference calibration.py:699-717); unconverged slices keep stepping
+    frozen0 = jnp.zeros((nbatch,), dtype=bool)
+    nsteps0 = jnp.full((nbatch,), cfg.maxsteps, dtype=jnp.int32)
+    state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev0, frozen0,
+              nsteps0, best0, params, history0)
 
     def cond(state):
-        step, _, _, prev, delta_max, _, _, _ = state
-        ok = jnp.logical_and(step < cfg.maxsteps, delta_max >= cfg.tol)
-        # divergence watchdog (see solver.fit)
-        return jnp.logical_and(ok, jnp.all(jnp.isfinite(prev)))
+        step, _, _, _, frozen, _, _, _, _ = state
+        return jnp.logical_and(step < cfg.maxsteps, ~jnp.all(frozen))
 
     def body(state):
-        step, params, opt_state, prev, _, best_loss, best_params, history = state
+        (step, params, opt_state, prev, frozen, nsteps_slice, best_loss,
+         best_params, history) = state
         losses, new_params, new_opt_state = one_step(params, opt_state)
-        history = history.at[step].set(losses.astype(dtype))
+
+        def keep_frozen(new, old):
+            # select per-slice along the leading batch axis; leaves without
+            # a batch axis (e.g. optimizer step counts) just advance
+            if new.ndim == 0 or new.shape[0] != nbatch:
+                return new
+            bshape = (nbatch,) + (1,) * (new.ndim - 1)
+            return jnp.where(frozen.reshape(bshape), old, new)
+
+        new_params = jax.tree_util.tree_map(keep_frozen, new_params, params)
+        new_opt_state = jax.tree_util.tree_map(keep_frozen, new_opt_state, opt_state)
+        # frozen slices re-evaluate to their converged loss; don't re-record
+        history = history.at[step].set(
+            jnp.where(frozen, history[step], losses.astype(dtype))
+        )
         delta = jnp.where(step >= 1, jnp.abs(losses - prev), big)
-        delta_max = jnp.max(delta)
+        newly = (~frozen) & (
+            jnp.logical_and(step >= 1, delta < cfg.tol) | ~jnp.isfinite(losses)
+        )
+        nsteps_slice = jnp.where(newly, step + 1, nsteps_slice)
+        frozen = frozen | newly
         # per-slice argmin tracking: select along the batch axis
         is_best = losses < best_loss
         best_loss = jnp.minimum(losses, best_loss)
@@ -264,12 +292,12 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
             return jnp.where(is_best.reshape(bshape), new, old)
 
         best_params = jax.tree_util.tree_map(sel, new_params, best_params)
-        return (step + 1, new_params, new_opt_state, losses, delta_max, best_loss,
-                best_params, history)
+        return (step + 1, new_params, new_opt_state, losses, frozen, nsteps_slice,
+                best_loss, best_params, history)
 
-    step, params, _, last, _, best_loss, best_params, history = jax.lax.while_loop(
-        cond, body, state0
-    )
+    (step, params, _, last, frozen, nsteps_slice, best_loss, best_params,
+     history) = jax.lax.while_loop(cond, body, state0)
+    nsteps_slice = jnp.minimum(nsteps_slice, step)
     out_params = best_params if cfg.use_min else params
     final = best_loss if cfg.use_min else last
     if cfg.freeze_model:
@@ -277,4 +305,5 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         fg_r_o, fg_i_o = fg_r, fg_i
     else:
         g_r_o, g_i_o, fg_r_o, fg_i_o = out_params
-    return BatchedFitResult(g_r_o, g_i_o, fg_r_o, fg_i_o, history, step, final)
+    return BatchedFitResult(g_r_o, g_i_o, fg_r_o, fg_i_o, history, step, final,
+                            nsteps_slice)

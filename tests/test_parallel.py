@@ -155,3 +155,88 @@ def test_time_scan_rejects_mesh(projected_multitime):
             mesh=mesh,
             init_guesses_from_previous_time_step=True,
         )
+
+
+def test_per_slice_convergence_freeze():
+    """A fast-converging slice's parameters are bitwise-stable after its
+    convergence step while a slow slice keeps descending (VERDICT r1 #6)."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import batched_fit_core
+    from calamity_tpu.solver.fit import FitConfig
+
+    rng = np.random.default_rng(0)
+    nants, nfreqs, ngrps, nvecs = 4, 32, 6, 4
+    comps = jnp.asarray(rng.standard_normal((ngrps, 1, nfreqs, nvecs)))
+    a0 = jnp.asarray([[0], [0], [0], [1], [1], [2]], dtype=np.int32)
+    a1 = jnp.asarray([[1], [2], [3], [2], [3], [3]], dtype=np.int32)
+    chunks = ((comps, a0, a1),)
+    true_fg = rng.standard_normal((2, ngrps, nvecs))
+    vis = np.einsum("bgv,gxfv->bgxf", true_fg, np.asarray(comps))
+    data_r = (jnp.asarray(vis),)
+    data_i = (jnp.asarray(np.zeros_like(vis)),)
+    wgts = (jnp.full_like(jnp.asarray(vis), 1.0 / vis.size),)
+    # slice 0 starts AT the exact solution (converges immediately);
+    # slice 1 starts far away (keeps stepping)
+    fg0 = np.stack([true_fg[0], true_fg[0] + 5.0])
+    data_r = (jnp.asarray(np.stack([vis[0], vis[0]])),)
+    g_r = jnp.ones((2, nants, nfreqs))
+    g_i = jnp.zeros((2, nants, nfreqs))
+    cfg = FitConfig(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+                    maxsteps=300, tol=1e-9, freeze_model=True)
+    res = batched_fit_core(
+        cfg, chunks, data_r, data_i, wgts, g_r, g_i,
+        (jnp.asarray(fg0),), (jnp.asarray(fg0) * 0,),
+    )
+    ns = np.asarray(res.nsteps_slice)
+    assert ns[0] < ns[1], "fast slice must freeze before slow slice"
+    assert int(res.nsteps) == ns.max()
+    hist = np.asarray(res.loss_history)
+    # frozen slice's history is NaN past its convergence step
+    assert np.isnan(hist[ns[0]:, 0]).all()
+    assert np.isfinite(hist[: ns[1], 1]).all()
+
+
+def test_per_slice_freeze_params_stable():
+    """After freezing, gains for the converged slice stay bitwise identical
+    while the slow slice's gains keep changing."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import batched_fit_core
+    from calamity_tpu.solver.fit import FitConfig
+
+    rng = np.random.default_rng(1)
+    nants, nfreqs, ngrps, nvecs = 4, 16, 6, 3
+    comps = jnp.asarray(rng.standard_normal((ngrps, 1, nfreqs, nvecs)))
+    a0 = jnp.asarray([[0], [0], [0], [1], [1], [2]], dtype=np.int32)
+    a1 = jnp.asarray([[1], [2], [3], [2], [3], [3]], dtype=np.int32)
+    chunks = ((comps, a0, a1),)
+    true_fg = rng.standard_normal((ngrps, nvecs))
+    vis = np.einsum("gv,gxfv->gxf", true_fg, np.asarray(comps))
+    data_r = (jnp.asarray(np.stack([vis, vis])),)
+    data_i = (jnp.zeros_like(data_r[0]),)
+    wgts = (jnp.full_like(data_r[0], 1.0 / vis.size),)
+    fg0 = np.stack([true_fg, true_fg + 3.0])
+    g_r = jnp.ones((2, nants, nfreqs))
+    g_i = jnp.zeros((2, nants, nfreqs))
+    fgr = (jnp.asarray(fg0),)
+    fgi = (jnp.zeros_like(fgr[0]),)
+
+    def run(maxsteps):
+        cfg = FitConfig(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+                        maxsteps=maxsteps, tol=1e-9, freeze_model=False)
+        return batched_fit_core(cfg, chunks, data_r, data_i, wgts, g_r, g_i, fgr, fgi)
+
+    long = run(400)
+    ns = np.asarray(long.nsteps_slice)
+    assert ns[0] < ns[1]
+    short = run(int(ns[0]))  # stop exactly at the fast slice's freeze step
+    # fast slice frozen at its convergence step: identical in both runs
+    np.testing.assert_array_equal(
+        np.asarray(long.g_r)[0], np.asarray(short.g_r)[0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(long.fg_r[0])[0], np.asarray(short.fg_r[0])[0]
+    )
+    # slow slice kept moving
+    assert not np.array_equal(np.asarray(long.g_r)[1], np.asarray(short.g_r)[1])
