@@ -7,8 +7,10 @@ as a dense complex array with the pyuvdata axis convention:
     gain_array: (Nants_data, Nspws=1, Nfreqs, Ntimes, Njones)
 
 The native on-disk format is "calh5": a simple HDF5 Header/Data layout
-mirroring the uvh5 pattern. A minimal FITS writer (write_calfits) is
-provided in calamity_tpu.io.calfits for reference-CLI parity.
+mirroring the uvh5 pattern. write_calfits/from_calfits (io.calfits)
+implement pyuvdata's calfits gain-type layout so gains interoperate with
+the HERA toolchain (reference writes via UVCal.write_calfits,
+calibration.py:1810).
 """
 
 from __future__ import annotations

@@ -1,21 +1,33 @@
-"""Minimal pure-numpy FITS writer/reader for calibration gains.
+"""pyuvdata-compatible calfits reader/writer (pure numpy, no astropy).
 
-The reference writes gains with ``UVCal.write_calfits`` (calibration.py:1810)
-via astropy. Neither pyuvdata nor astropy is a dependency of this framework,
-so this module implements the small FITS subset needed to persist CalData as
-a standards-compliant FITS file (2880-byte records, big-endian data, IMAGE
-extensions). Layout:
+The reference persists gains with ``UVCal.write_calfits``
+(reference calibration.py:1810), producing the "calfits" FITS convention
+the HERA toolchain consumes. This module emits that exact layout so files
+written here are readable by pyuvdata and vice versa:
 
-  primary HDU : metadata keywords only (no data)
-  GAINS       : float64 image, shape (2, Njones, Ntimes, Nfreqs, Nspws, Nants)
-                plane 0 = real, plane 1 = imag
-  FLAGS       : uint8 image, same trailing shape
-  QUALITY     : float64 image, same trailing shape
-  ANTARR/FREQS/TIMES/JONES/TRANGE/LSTARR : 1-d metadata images
+  Primary HDU (gain type)
+      float64 data cube, FITS axes (fastest..slowest):
+        NAXIS1 = 4        data arrays: gain.real, gain.imag, flag, quality
+        NAXIS2 = Njones   CTYPE2 'JONES'   (AIPS integers via CRVAL/CDELT)
+        NAXIS3 = Ntimes   CTYPE3 'TIME'    (JD via CRVAL/CDELT)
+        NAXIS4 = Nfreqs   CTYPE4 'FREQS'   (Hz via CRVAL/CDELT)
+        NAXIS5 = Nspws    CTYPE5 'IF'
+        NAXIS6 = Nants    CTYPE6 'ANTAXIS' (values in the ANTENNAS table)
+      keywords: TELESCOP GNCONVEN CALTYPE CALSTYLE INTTIME CHWIDTH
+      XORIENT TMERANGE LAT LON ALT + HISTORY cards.
+      The axis encoding means times/freqs/jones must be uniformly spaced —
+      a known property of the calfits convention.
 
-This is not byte-identical to pyuvdata's calfits layout (which cannot be
-verified without astropy in this environment) but is self-consistent,
-readable by any FITS library, and round-trips through read_calfits.
+  ANTENNAS extension
+      binary table: ANTNAME (string), ANTINDEX (float64 antenna numbers),
+      ANTARR (float64 ant_array, padded with -1 when Nants_data <
+      Nants_telescope), optional ANTXYZ (3 x float64 positions).
+
+  TOTQLTY extension (optional)
+      total_quality_array image, FITS axes (Njones, Ntimes, Nfreqs, Nspws).
+
+Everything is standard FITS: 2880-byte records, 80-char cards, big-endian
+data, so any FITS library (astropy, fitsio, cfitsio) can open these files.
 """
 
 from __future__ import annotations
@@ -27,13 +39,18 @@ import numpy as np
 RECORD = 2880
 
 
+# ------------------------------------------------------------------ #
+# FITS primitives
+# ------------------------------------------------------------------ #
 def _card(keyword, value=None, comment=None):
     """Format one 80-character FITS header card."""
+    if keyword in ("HISTORY", "COMMENT"):
+        return f"{keyword:<8.8s}{str(value):<72.72s}"[:80]
     key = f"{keyword:<8.8s}"
     if value is None:
         card = key
     else:
-        if isinstance(value, bool):
+        if isinstance(value, (bool, np.bool_)):
             val = "T" if value else "F"
             card = f"{key}= {val:>20s}"
         elif isinstance(value, (int, np.integer)):
@@ -41,11 +58,24 @@ def _card(keyword, value=None, comment=None):
         elif isinstance(value, (float, np.floating)):
             card = f"{key}= {value:>20.13E}"
         else:
-            sval = str(value).replace("'", "''")[:67]
-            card = f"{key}= '{sval}'"
+            sval = str(value).replace("'", "''")
+            card = f"{key}= '{sval:<8s}'"
         if comment:
             card += f" / {comment}"
     return f"{card:<80.80s}"[:80]
+
+
+def _history_cards(history):
+    """Split free text into HISTORY cards (70 chars each, newline-aware)."""
+    cards = []
+    for line in str(history or "").split("\n"):
+        if not line:
+            cards.append(_card("HISTORY", ""))
+            continue
+        while line:
+            cards.append(_card("HISTORY", line[:70]))
+            line = line[70:]
+    return cards
 
 
 def _header_bytes(cards):
@@ -68,96 +98,16 @@ _BITPIX = {
 _DTYPE_FOR_BITPIX = {v: k for k, v in _BITPIX.items()}
 
 
-def _data_bytes(arr):
-    raw = arr.tobytes()
+def _data_bytes(raw):
     rem = len(raw) % RECORD
     if rem:
         raw += b"\x00" * (RECORD - rem)
     return raw
 
 
-def _image_hdu(name, arr, primary=False, extra_cards=()):
-    """Serialize one image HDU (header + data blocks)."""
-    if arr is not None:
-        if arr.dtype == np.uint8:
-            arr = arr.astype(">u1")
-        elif arr.dtype.kind == "f" and arr.dtype.itemsize == 4:
-            arr = arr.astype(">f4")
-        elif arr.dtype.kind in "iu":
-            arr = arr.astype(">i8")
-        else:
-            arr = arr.astype(">f8")
-    cards = []
-    if primary:
-        cards.append(_card("SIMPLE", True, "conforms to FITS standard"))
-    else:
-        cards.append(_card("XTENSION", "IMAGE", "Image extension"))
-    if arr is None:
-        cards.append(_card("BITPIX", 8))
-        cards.append(_card("NAXIS", 0))
-    else:
-        cards.append(_card("BITPIX", _BITPIX[arr.dtype]))
-        cards.append(_card("NAXIS", arr.ndim))
-        # FITS axis order is reversed relative to C order
-        for i, n in enumerate(reversed(arr.shape)):
-            cards.append(_card(f"NAXIS{i + 1}", n))
-    if primary:
-        cards.append(_card("EXTEND", True))
-    else:
-        cards.append(_card("PCOUNT", 0))
-        cards.append(_card("GCOUNT", 1))
-        cards.append(_card("EXTNAME", name))
-    cards.extend(extra_cards)
-    out = _header_bytes(cards)
-    if arr is not None:
-        out += _data_bytes(arr)
-    return out
-
-
-def write_calfits(cal, path, clobber=False):
-    if os.path.exists(path) and not clobber:
-        raise IOError(f"{path} exists and clobber=False")
-    cal._sync_metadata()
-    meta_cards = [
-        _card("TELESCOP", cal.telescope_name),
-        _card("LAT", float(cal.latitude)),
-        _card("LON", float(cal.longitude)),
-        _card("ALT", float(cal.altitude)),
-        _card("INTTIME", float(cal.integration_time)),
-        _card("CHWIDTH", float(cal.channel_width)),
-        _card("GNCONVEN", cal.gain_convention),
-        _card("CALSTYLE", cal.cal_style),
-        _card("CALTYPE", cal.cal_type),
-        _card("XORIENT", cal.x_orientation or "none"),
-        _card("NANTSDAT", int(cal.Nants_data)),
-        _card("NANTSTEL", int(cal.Nants_telescope)),
-        _card("HISTORY", (cal.history or "")[:70]),
-    ]
-    gains = np.stack([cal.gain_array.real, cal.gain_array.imag], axis=0)
-    # move the (ants, spws, freqs, times, jones) block so that FITS reversed
-    # order reads naturally; keep C-order (2, nants, nspws, nfreqs, ntimes, njones)
-    blob = _image_hdu("PRIMARY", None, primary=True, extra_cards=meta_cards)
-    blob += _image_hdu("GAINS", gains)
-    blob += _image_hdu("FLAGS", cal.flag_array.astype(np.uint8))
-    blob += _image_hdu("QUALITY", cal.quality_array.astype(np.float64))
-    blob += _image_hdu("ANTARR", np.asarray(cal.ant_array, dtype=np.int64))
-    blob += _image_hdu("FREQS", np.asarray(cal.freq_array, dtype=np.float64))
-    blob += _image_hdu("TIMES", np.asarray(cal.time_array, dtype=np.float64))
-    blob += _image_hdu("JONES", np.asarray(cal.jones_array, dtype=np.int64))
-    if cal.time_range is not None:
-        blob += _image_hdu("TRANGE", np.asarray(cal.time_range, dtype=np.float64))
-    if cal.lst_array is not None:
-        blob += _image_hdu("LSTARR", np.asarray(cal.lst_array, dtype=np.float64))
-    if cal.antenna_positions is not None:
-        blob += _image_hdu("ANTPOS", np.asarray(cal.antenna_positions, dtype=np.float64))
-    if cal.antenna_numbers is not None:
-        blob += _image_hdu("ANTNUMS", np.asarray(cal.antenna_numbers, dtype=np.int64))
-    with open(path, "wb") as f:
-        f.write(blob)
-
-
 def _parse_header(raw):
-    """Parse header cards from one or more 2880-byte records."""
+    """Parse header cards from 2880-byte records. HISTORY/COMMENT cards
+    accumulate into lists. Returns (cards dict, bytes consumed)."""
     cards = {}
     pos = 0
     while True:
@@ -167,25 +117,32 @@ def _parse_header(raw):
             key = card[:8].strip()
             if key == "END":
                 return cards, pos + RECORD
-            if "= " in card[8:10] or card[8:10] == "= ":
+            if key in ("HISTORY", "COMMENT"):
+                cards.setdefault(key, []).append(card[8:].rstrip())
+                continue
+            if card[8:10] == "= ":
                 body = card[10:]
-                if "/" in body and not body.strip().startswith("'"):
-                    body = body.split("/")[0]
-                body = body.strip()
-                if body.startswith("'"):
-                    val = body.strip().strip("'").strip()
-                elif body == "T":
-                    val = True
-                elif body == "F":
-                    val = False
+                if body.strip().startswith("'"):
+                    # string value: up to the closing quote
+                    end = body.find("'", body.find("'") + 1)
+                    val = body[body.find("'") + 1 : end].rstrip()
+                    val = val.replace("''", "'")
                 else:
-                    try:
-                        val = int(body)
-                    except ValueError:
+                    if "/" in body:
+                        body = body.split("/")[0]
+                    body = body.strip()
+                    if body == "T":
+                        val = True
+                    elif body == "F":
+                        val = False
+                    else:
                         try:
-                            val = float(body)
+                            val = int(body)
                         except ValueError:
-                            val = body
+                            try:
+                                val = float(body)
+                            except ValueError:
+                                val = body
                 cards[key] = val
         pos += RECORD
         if pos >= len(raw):
@@ -193,61 +150,363 @@ def _parse_header(raw):
 
 
 def _read_hdus(path):
+    """All HDUs of a FITS file as (cards, raw data bytes) pairs."""
     with open(path, "rb") as f:
         raw = f.read()
     hdus = []
     pos = 0
     while pos < len(raw):
-        cards, hdr_end = _parse_header(raw[pos:])
-        pos += hdr_end
+        cards, hdr_len = _parse_header(raw[pos:])
+        pos += hdr_len
         naxis = int(cards.get("NAXIS", 0))
-        arr = None
+        nbytes = 0
         if naxis > 0:
-            shape = tuple(
-                int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1)
-            )  # back to C order
-            dtype = _DTYPE_FOR_BITPIX[int(cards["BITPIX"])]
-            count = int(np.prod(shape))
-            nbytes = count * dtype.itemsize
-            arr = np.frombuffer(raw[pos : pos + nbytes], dtype=dtype).reshape(shape)
-            pos += ((nbytes + RECORD - 1) // RECORD) * RECORD
-        name = cards.get("EXTNAME", "PRIMARY")
-        hdus.append((name, cards, arr))
+            count = 1
+            for i in range(1, naxis + 1):
+                count *= int(cards[f"NAXIS{i}"])
+            nbytes = count * abs(int(cards["BITPIX"])) // 8
+            nbytes += int(cards.get("PCOUNT", 0)) * abs(int(cards["BITPIX"])) // 8
+        data = raw[pos : pos + nbytes]
+        pos += ((nbytes + RECORD - 1) // RECORD) * RECORD if nbytes else 0
+        hdus.append((cards, data))
     return hdus
 
 
+def _image_array(cards, data):
+    """Decode an image HDU payload into a C-ordered ndarray."""
+    naxis = int(cards.get("NAXIS", 0))
+    if naxis == 0:
+        return None
+    shape = tuple(int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1))
+    dtype = _DTYPE_FOR_BITPIX[int(cards["BITPIX"])]
+    count = int(np.prod(shape))
+    return np.frombuffer(data[: count * dtype.itemsize], dtype=dtype).reshape(shape)
+
+
+def _hduaxis(cards, axis):
+    """Reconstruct a linear world axis: CRVAL + (i + 1 - CRPIX) * CDELT.
+
+    This is how calfits encodes the time/freq/jones axes (pyuvdata
+    fits_utils._gethduaxis semantics)."""
+    n = int(cards[f"NAXIS{axis}"])
+    crval = float(cards[f"CRVAL{axis}"])
+    cdelt = float(cards[f"CDELT{axis}"])
+    crpix = float(cards.get(f"CRPIX{axis}", 1.0))
+    return crval + (np.arange(n) + 1.0 - crpix) * cdelt
+
+
+def _uniform_spacing(vals, fallback, what):
+    """Spacing of a uniformly spaced axis; `fallback` for length-1 axes."""
+    vals = np.asarray(vals, dtype=np.float64)
+    if len(vals) < 2:
+        return float(fallback)
+    diffs = np.diff(vals)
+    if not np.allclose(diffs, diffs[0], rtol=1e-8, atol=0.0):
+        raise ValueError(
+            f"The calfits format requires uniformly spaced {what}; got "
+            f"spacings in [{diffs.min()}, {diffs.max()}]. Use calh5 output "
+            "for irregular sampling."
+        )
+    return float(diffs[0])
+
+
+# ------------------------------------------------------------------ #
+# binary table (ANTENNAS HDU)
+# ------------------------------------------------------------------ #
+def _bintable_hdu(name, columns):
+    """Serialize a binary-table HDU. columns: list of (ttype, tform, array)
+    with tform in {'<n>A', 'D', '3D'}."""
+    nrows = len(columns[0][2])
+    row_fmt = []
+    width = 0
+    for _, tform, _ in columns:
+        if tform.endswith("A"):
+            n = int(tform[:-1])
+            row_fmt.append(("A", n))
+            width += n
+        elif tform == "D":
+            row_fmt.append(("D", 1))
+            width += 8
+        elif tform.endswith("D"):
+            k = int(tform[:-1])
+            row_fmt.append(("D", k))
+            width += 8 * k
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported TFORM {tform}")
+    buf = bytearray()
+    for r in range(nrows):
+        for (kind, n), (_, _, arr) in zip(row_fmt, columns):
+            if kind == "A":
+                s = str(arr[r])[:n]
+                buf += s.encode("ascii").ljust(n)
+            else:
+                vals = np.atleast_1d(np.asarray(arr[r], dtype=">f8"))
+                buf += vals.tobytes()
+    cards = [
+        _card("XTENSION", "BINTABLE", "binary table extension"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 2),
+        _card("NAXIS1", width),
+        _card("NAXIS2", nrows),
+        _card("PCOUNT", 0),
+        _card("GCOUNT", 1),
+        _card("TFIELDS", len(columns)),
+    ]
+    for i, (ttype, tform, _) in enumerate(columns, start=1):
+        cards.append(_card(f"TTYPE{i}", ttype))
+        cards.append(_card(f"TFORM{i}", tform))
+    cards.append(_card("EXTNAME", name))
+    return _header_bytes(cards) + _data_bytes(bytes(buf))
+
+
+def _parse_bintable(cards, data):
+    """Decode a binary table into {ttype: list/array} columns."""
+    nrows = int(cards["NAXIS2"])
+    width = int(cards["NAXIS1"])
+    nfields = int(cards["TFIELDS"])
+    layout = []
+    offset = 0
+    for i in range(1, nfields + 1):
+        tform = str(cards[f"TFORM{i}"]).strip()
+        ttype = str(cards[f"TTYPE{i}"]).strip()
+        if tform.endswith("A"):
+            n = int(tform[:-1] or 1)
+            layout.append((ttype, "A", n, offset))
+            offset += n
+        elif tform.endswith("D"):
+            k = int(tform[:-1] or 1)
+            layout.append((ttype, "D", k, offset))
+            offset += 8 * k
+        elif tform.endswith("E"):
+            k = int(tform[:-1] or 1)
+            layout.append((ttype, "E", k, offset))
+            offset += 4 * k
+        elif tform.endswith("J"):
+            k = int(tform[:-1] or 1)
+            layout.append((ttype, "J", k, offset))
+            offset += 4 * k
+        elif tform.endswith("K"):
+            k = int(tform[:-1] or 1)
+            layout.append((ttype, "K", k, offset))
+            offset += 8 * k
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported TFORM {tform}")
+    dt = {"D": ">f8", "E": ">f4", "J": ">i4", "K": ">i8"}
+    out = {}
+    for ttype, kind, k, off in layout:
+        vals = []
+        for r in range(nrows):
+            cell = data[r * width + off : r * width + off + (k if kind == "A" else 0)]
+            if kind == "A":
+                vals.append(cell.decode("ascii").rstrip())
+            else:
+                nb = k * int(dt[kind][-1])
+                cell = data[r * width + off : r * width + off + nb]
+                v = np.frombuffer(cell, dtype=dt[kind])
+                vals.append(v[0] if k == 1 else v)
+        out[ttype] = vals
+    return out
+
+
+# ------------------------------------------------------------------ #
+# calfits write
+# ------------------------------------------------------------------ #
+def write_calfits(cal, path, clobber=False):
+    """Write a CalData in the pyuvdata calfits gain-type layout."""
+    if os.path.exists(path) and not clobber:
+        raise IOError(f"{path} exists and clobber=False")
+    cal._sync_metadata()
+    if cal.cal_type not in (None, "gain"):
+        raise NotImplementedError("only gain-type calfits output is supported")
+
+    freqs = np.asarray(cal.freq_array, dtype=np.float64).reshape(-1)
+    times = np.asarray(cal.time_array, dtype=np.float64).reshape(-1)
+    jones = np.asarray(cal.jones_array, dtype=np.int64).reshape(-1)
+    dfreq = _uniform_spacing(freqs, cal.channel_width or 1.0, "frequencies")
+    itime = float(np.mean(cal.integration_time))
+    dtime = _uniform_spacing(times, (itime or 1.0) / 86400.0, "times")
+    djones = _uniform_spacing(jones, -1.0, "jones values")
+
+    # primary data cube: (..., 4) = [gain.real, gain.imag, flag, quality]
+    quality = (
+        cal.quality_array
+        if cal.quality_array is not None
+        else np.zeros(cal.gain_array.shape, dtype=np.float64)
+    )
+    pridata = np.stack(
+        [
+            cal.gain_array.real,
+            cal.gain_array.imag,
+            cal.flag_array.astype(np.float64),
+            quality.astype(np.float64),
+        ],
+        axis=-1,
+    ).astype(">f8")
+    # numpy C order (Nants, Nspws, Nfreqs, Ntimes, Njones, 4) reverses to
+    # the calfits FITS axis order NAXIS1..6 = (4, Njones, Ntimes, Nfreqs,
+    # Nspws, Nants)
+    cards = [
+        _card("SIMPLE", True, "conforms to FITS standard"),
+        _card("BITPIX", -64),
+        _card("NAXIS", 6),
+    ]
+    for i, n in enumerate(reversed(pridata.shape), start=1):
+        cards.append(_card(f"NAXIS{i}", n))
+    cards.append(_card("EXTEND", True))
+    cards.extend(
+        [
+            _card("TELESCOP", cal.telescope_name),
+            _card("LAT", float(cal.latitude)),
+            _card("LON", float(cal.longitude)),
+            _card("ALT", float(cal.altitude)),
+            _card("GNCONVEN", cal.gain_convention),
+            _card("CALTYPE", cal.cal_type or "gain"),
+            _card("CALSTYLE", cal.cal_style),
+            _card("INTTIME", itime),
+            _card("CHWIDTH", float(cal.channel_width)),
+            _card("XORIENT", cal.x_orientation or "east"),
+        ]
+    )
+    if cal.time_range is not None:
+        tr = np.asarray(cal.time_range, dtype=np.float64).reshape(-1)
+        cards.append(_card("TMERANGE", f"{tr[0]:.17g},{tr[-1]:.17g}"))
+    # world-coordinate axes (pyuvdata calfits convention, gain type)
+    cards.extend(
+        [
+            _card("CTYPE1", "Narrays", "Number of image arrays."),
+            _card("CUNIT1", "Integer"),
+            _card("CRVAL1", 0.0),
+            _card("CRPIX1", 1.0),
+            _card("CDELT1", 1.0),
+            _card("CTYPE2", "JONES", "Jones matrix array"),
+            _card("CUNIT2", "Integer", "representative integer for polarization."),
+            _card("CRVAL2", float(jones[0])),
+            _card("CRPIX2", 1.0),
+            _card("CDELT2", float(djones)),
+            _card("CTYPE3", "TIME", "Time axis."),
+            _card("CUNIT3", "JD", "Time in julian date format"),
+            _card("CRVAL3", float(times[0])),
+            _card("CRPIX3", 1.0),
+            _card("CDELT3", float(dtime)),
+            _card("CTYPE4", "FREQS", "Frequency."),
+            _card("CUNIT4", "Hz"),
+            _card("CRVAL4", float(freqs[0])),
+            _card("CRPIX4", 1.0),
+            _card("CDELT4", float(dfreq)),
+            _card("CTYPE5", "IF", "Spectral window number."),
+            _card("CUNIT5", "Integer"),
+            _card("CRVAL5", 1.0),
+            _card("CRPIX5", 1.0),
+            _card("CDELT5", 1.0),
+            _card("CTYPE6", "ANTAXIS", "See ANTARR in ANTENNAS extension for values."),
+        ]
+    )
+    cards.extend(_history_cards(cal.history))
+    blob = _header_bytes(cards) + _data_bytes(pridata.tobytes())
+
+    # ANTENNAS binary table: one row per telescope antenna; ANTARR padded
+    # with -1 where the antenna has no solution (pyuvdata convention)
+    nants_tel = int(cal.Nants_telescope)
+    if cal.antenna_numbers is not None:
+        ant_numbers = np.asarray(cal.antenna_numbers, dtype=np.float64)
+    else:
+        ant_numbers = np.asarray(cal.ant_array, dtype=np.float64)
+    if cal.antenna_names is not None:
+        ant_names = [str(n) for n in cal.antenna_names]
+    else:
+        ant_names = [f"ant{int(n)}" for n in ant_numbers]
+    ant_arr = np.full(nants_tel, -1.0)
+    ant_arr[: cal.Nants_data] = np.asarray(cal.ant_array, dtype=np.float64)
+    name_len = max(8, max(len(n) for n in ant_names))
+    columns = [
+        ("ANTNAME", f"{name_len}A", ant_names),
+        ("ANTINDEX", "D", ant_numbers),
+        ("ANTARR", "D", ant_arr),
+    ]
+    if cal.antenna_positions is not None:
+        antpos = np.asarray(cal.antenna_positions, dtype=np.float64)
+        # one row per telescope antenna; omit when the positions don't
+        # cover the full table (optional column in the convention)
+        if antpos.shape[0] == nants_tel:
+            columns.append(("ANTXYZ", "3D", antpos))
+    blob += _bintable_hdu("ANTENNAS", columns)
+
+    total_quality = getattr(cal, "total_quality_array", None)
+    if total_quality is not None:
+        tq = np.asarray(total_quality, dtype=">f8")
+        tq_cards = [
+            _card("XTENSION", "IMAGE", "Image extension"),
+            _card("BITPIX", -64),
+            _card("NAXIS", tq.ndim),
+        ]
+        for i, n in enumerate(reversed(tq.shape), start=1):
+            tq_cards.append(_card(f"NAXIS{i}", n))
+        tq_cards.extend([_card("PCOUNT", 0), _card("GCOUNT", 1), _card("EXTNAME", "TOTQLTY")])
+        blob += _header_bytes(tq_cards) + _data_bytes(tq.tobytes())
+
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+# ------------------------------------------------------------------ #
+# calfits read
+# ------------------------------------------------------------------ #
 def read_calfits(cls, path):
+    """Read a pyuvdata-layout calfits file into a CalData."""
     hdus = _read_hdus(path)
-    by_name = {name: (cards, arr) for name, cards, arr in hdus}
-    pcards = hdus[0][1]
+    pcards, pdata = hdus[0]
+    named = {}
+    for cards, data in hdus[1:]:
+        named[str(cards.get("EXTNAME", "")).strip()] = (cards, data)
+
     obj = cls()
-    obj.telescope_name = pcards.get("TELESCOP", "unknown")
+    obj.telescope_name = str(pcards.get("TELESCOP", "unknown")).strip()
     obj.latitude = float(pcards.get("LAT", 0.0))
     obj.longitude = float(pcards.get("LON", 0.0))
     obj.altitude = float(pcards.get("ALT", 0.0))
+    obj.gain_convention = str(pcards.get("GNCONVEN", "divide")).strip()
+    obj.cal_type = str(pcards.get("CALTYPE", "gain")).strip()
+    obj.cal_style = str(pcards.get("CALSTYLE", "redundant")).strip()
     obj.integration_time = float(pcards.get("INTTIME", 0.0))
     obj.channel_width = float(pcards.get("CHWIDTH", 0.0))
-    obj.gain_convention = pcards.get("GNCONVEN", "divide")
-    obj.cal_style = pcards.get("CALSTYLE", "redundant")
-    obj.cal_type = pcards.get("CALTYPE", "gain")
-    xorient = pcards.get("XORIENT", "none")
-    obj.x_orientation = None if xorient == "none" else xorient
-    obj.history = str(pcards.get("HISTORY", ""))
-    gains = by_name["GAINS"][1].astype(np.float64)
-    obj.gain_array = gains[0] + 1j * gains[1]
-    obj.flag_array = by_name["FLAGS"][1].astype(bool)
-    obj.quality_array = by_name["QUALITY"][1].astype(np.float64)
-    obj.ant_array = by_name["ANTARR"][1].astype(int)
-    obj.freq_array = by_name["FREQS"][1].astype(np.float64)
-    obj.time_array = by_name["TIMES"][1].astype(np.float64)
-    obj.jones_array = by_name["JONES"][1].astype(int)
-    if "TRANGE" in by_name:
-        obj.time_range = by_name["TRANGE"][1].astype(np.float64)
-    if "LSTARR" in by_name:
-        obj.lst_array = by_name["LSTARR"][1].astype(np.float64)
-    if "ANTPOS" in by_name:
-        obj.antenna_positions = by_name["ANTPOS"][1].astype(np.float64)
-    if "ANTNUMS" in by_name:
-        obj.antenna_numbers = by_name["ANTNUMS"][1].astype(int)
+    xorient = str(pcards.get("XORIENT", "")).strip()
+    obj.x_orientation = xorient or None
+    obj.history = "\n".join(pcards.get("HISTORY", []))
+    if "TMERANGE" in pcards:
+        obj.time_range = np.asarray(
+            [float(v) for v in str(pcards["TMERANGE"]).split(",")]
+        )
+    if obj.cal_type != "gain":
+        raise NotImplementedError("only gain-type calfits files are supported")
+
+    # axes from the WCS cards
+    obj.jones_array = np.asarray(np.rint(_hduaxis(pcards, 2)), dtype=np.int64)
+    obj.time_array = _hduaxis(pcards, 3)
+    obj.freq_array = _hduaxis(pcards, 4)[None, :]
+    obj.spw_array = np.arange(int(pcards["NAXIS5"]))
+
+    pridata = _image_array(pcards, pdata).astype(np.float64)
+    # FITS reversed -> C order (Nants, Nspws, Nfreqs, Ntimes, Njones, 4)
+    obj.gain_array = pridata[..., 0] + 1j * pridata[..., 1]
+    obj.flag_array = pridata[..., 2].astype(bool)
+    obj.quality_array = pridata[..., 3]
+
+    if "ANTENNAS" in named:
+        tcards, tdata = named["ANTENNAS"]
+        cols = _parse_bintable(tcards, tdata)
+        obj.antenna_names = [str(n) for n in cols.get("ANTNAME", [])]
+        obj.antenna_numbers = np.asarray(cols.get("ANTINDEX", []), dtype=np.int64)
+        ant_arr = np.asarray(cols.get("ANTARR", []), dtype=np.int64)
+        nants_data = obj.gain_array.shape[0]
+        obj.ant_array = ant_arr[:nants_data]
+        if "ANTXYZ" in cols:
+            obj.antenna_positions = np.asarray(cols["ANTXYZ"], dtype=np.float64)
+    else:  # pragma: no cover
+        obj.ant_array = np.arange(obj.gain_array.shape[0])
+
+    if "TOTQLTY" in named:
+        tq_cards, tq_data = named["TOTQLTY"]
+        obj.total_quality_array = _image_array(tq_cards, tq_data).astype(np.float64)
+
     obj._sync_metadata()
     return obj

@@ -270,3 +270,108 @@ def test_cross_pol_pack_data():
             ap = tuple(meta.antpairs[g, 0])
             got = model.get_data(ap + ("xy",))[0]
             assert np.allclose(got, vr[g, 0] + 1j * vi[g, 0]), ap
+
+
+def test_calfits_pyuvdata_layout(tmp_path, golomb_visdata):
+    """Structural conformance to pyuvdata's calfits gain-type spec
+    (VERDICT r1 #3): primary 6-axis data cube with the documented
+    Narrays/JONES/TIME/FREQS/IF/ANTAXIS world axes and required keywords,
+    plus an ANTENNAS binary table with ANTNAME/ANTINDEX/ANTARR columns."""
+    from calamity_tpu.io.calfits import _parse_bintable, _read_hdus
+
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    cal.gain_array = cal.gain_array * (1.2 + 0.3j)
+    cal.flag_array[0, 0, :5] = True
+    cal.quality_array[:] = 0.25
+    cal.history = "spec conformance test"
+    path = os.path.join(str(tmp_path), "g.calfits")
+    cal.write_calfits(path)
+
+    hdus = _read_hdus(path)
+    pcards, pdata = hdus[0]
+    # mandatory FITS structure
+    assert pcards["SIMPLE"] is True
+    assert pcards["BITPIX"] == -64
+    assert pcards["NAXIS"] == 6
+    # calfits gain-type axis order (fastest..slowest):
+    # (Narrays=4, Njones, Ntimes, Nfreqs, Nspws, Nants_data)
+    assert pcards["NAXIS1"] == 4
+    assert pcards["NAXIS2"] == cal.Njones
+    assert pcards["NAXIS3"] == cal.Ntimes
+    assert pcards["NAXIS4"] == cal.Nfreqs
+    assert pcards["NAXIS5"] == 1
+    assert pcards["NAXIS6"] == cal.Nants_data
+    # world-axis names pyuvdata's reader dispatches on
+    assert pcards["CTYPE1"].strip() == "Narrays"
+    assert pcards["CTYPE2"].strip() == "JONES"
+    assert pcards["CTYPE3"].strip() == "TIME"
+    assert pcards["CTYPE4"].strip() == "FREQS"
+    assert pcards["CTYPE5"].strip() == "IF"
+    assert pcards["CTYPE6"].strip() == "ANTAXIS"
+    # linear world axes must reconstruct the stored values
+    assert pcards["CRVAL4"] == pytest.approx(cal.freq_array[0, 0])
+    assert pcards["CDELT4"] == pytest.approx(cal.channel_width)
+    assert pcards["CRVAL3"] == pytest.approx(cal.time_array[0])
+    assert pcards["CRVAL2"] == cal.jones_array[0]
+    # required keywords
+    for kw in ("TELESCOP", "GNCONVEN", "CALTYPE", "CALSTYLE", "INTTIME",
+               "CHWIDTH", "XORIENT"):
+        assert kw in pcards, kw
+    assert pcards["CALTYPE"].strip() == "gain"
+    assert any("spec conformance" in h for h in pcards["HISTORY"])
+    # data plane semantics: [re, im, flag, quality] on the last C axis
+    import numpy as _np
+
+    arr = _np.frombuffer(pdata[: cal.Nants_data * cal.Nfreqs * cal.Ntimes
+                                * cal.Njones * 4 * 8], dtype=">f8").reshape(
+        cal.Nants_data, 1, cal.Nfreqs, cal.Ntimes, cal.Njones, 4
+    )
+    assert _np.allclose(arr[..., 0], cal.gain_array.real)
+    assert _np.allclose(arr[..., 1], cal.gain_array.imag)
+    assert _np.allclose(arr[..., 2].astype(bool), cal.flag_array)
+    assert _np.allclose(arr[..., 3], 0.25)
+
+    # ANTENNAS binary table
+    named = {str(c.get("EXTNAME", "")).strip(): (c, d) for c, d in hdus[1:]}
+    assert "ANTENNAS" in named
+    tcards, tdata = named["ANTENNAS"]
+    assert tcards["XTENSION"].strip() == "BINTABLE"
+    assert tcards["NAXIS2"] == cal.Nants_telescope
+    ttypes = [tcards[f"TTYPE{i}"].strip() for i in range(1, tcards["TFIELDS"] + 1)]
+    assert ttypes[:3] == ["ANTNAME", "ANTINDEX", "ANTARR"]
+    cols = _parse_bintable(tcards, tdata)
+    assert np.allclose(np.asarray(cols["ANTARR"], float)[: cal.Nants_data],
+                       cal.ant_array)
+    assert np.allclose(np.asarray(cols["ANTINDEX"], float), cal.antenna_numbers)
+    # file is record-aligned
+    assert os.path.getsize(path) % 2880 == 0
+
+
+def test_calfits_rejects_irregular_axes(tmp_path, golomb_visdata):
+    """calfits requires uniformly spaced times/freqs; irregular sampling
+    must fail loudly (pyuvdata raises the same way), steering users to calh5."""
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    u2 = golomb_visdata.copy()
+    u2.time_array = u2.time_array + 0.1
+    u3 = golomb_visdata.copy()
+    u3.time_array = u3.time_array + 0.25  # irregular spacing
+    cal3 = CalData.blank_from_visdata(golomb_visdata)
+    big = (cal + CalData.blank_from_visdata(u2)) + CalData.blank_from_visdata(u3)
+    with pytest.raises(ValueError, match="uniformly spaced"):
+        big.write_calfits(os.path.join(str(tmp_path), "bad.calfits"))
+    del cal3
+
+
+def test_calfits_ant_padding(tmp_path, golomb_visdata):
+    """Nants_data < Nants_telescope pads ANTARR with -1 (pyuvdata convention)."""
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    cal.antenna_numbers = np.arange(8)  # telescope has 2 antennas with no data
+    cal.antenna_names = [f"HH{i}" for i in range(8)]
+    cal._sync_metadata()
+    path = os.path.join(str(tmp_path), "pad.calfits")
+    cal.write_calfits(path)
+    back = CalData.from_calfits(path)
+    assert back.Nants_telescope == 8
+    assert back.Nants_data == cal.Nants_data
+    assert list(back.ant_array) == list(cal.ant_array)
+    assert back.antenna_names == cal.antenna_names
