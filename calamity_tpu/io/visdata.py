@@ -147,7 +147,11 @@ class VisData:
             hdr = f["Header"]
             for name in _HEADER_SCALARS:
                 if name in hdr:
-                    setattr(obj, name, np.asarray(hdr[name][()]).item())
+                    val = np.asarray(hdr[name][()])
+                    if val.size > 1:
+                        # uvh5 v1.x stores channel_width per channel
+                        val = np.median(val)
+                    setattr(obj, name, val.item())
             for name in _HEADER_ARRAYS:
                 if name in hdr:
                     setattr(obj, name, np.asarray(hdr[name][()]))
@@ -174,34 +178,62 @@ class VisData:
         obj._sync_metadata()
         return obj
 
-    def write_uvh5(self, path, clobber=False):
-        """Write to a uvh5 file in the v0.1 (spw-axis) layout."""
+    def write_uvh5(self, path, clobber=False, version="0.1"):
+        """Write a uvh5 file.
+
+        ``version="0.1"`` emits the original spw-axis layout (matching the
+        reference's packaged fixtures); ``version="1.0"`` emits the current
+        uvh5 spec: no spw axis on the Data datasets, 1-D ``freq_array``,
+        per-channel ``channel_width`` array (pyuvdata writes this layout,
+        reference calibration.py:1806-1809).
+        """
         import os
 
+        if version not in ("0.1", "1.0"):
+            raise ValueError(f"unsupported uvh5 version {version!r}")
         if os.path.exists(path) and not clobber:
             raise IOError(f"{path} exists and clobber=False")
+        v1 = version == "1.0"
         with h5py.File(path, "w") as f:
             hdr = f.create_group("Header")
             self._sync_metadata()
             for name in _HEADER_SCALARS:
+                if v1 and name == "channel_width":
+                    continue
                 hdr[name] = getattr(self, name)
             for name in _HEADER_ARRAYS:
+                if v1 and name == "freq_array":
+                    continue
                 val = getattr(self, name)
                 if val is not None:
                     hdr[name] = np.asarray(val)
             for name in _STR_FIELDS:
+                if name == "version":
+                    continue
                 val = getattr(self, name)
                 if val is not None:
                     hdr[name] = np.bytes_(str(val))
+            hdr["version"] = np.bytes_(version)
             hdr["flex_spw"] = bool(self.flex_spw)
+            if v1:
+                hdr["freq_array"] = np.asarray(self.freq_array).reshape(-1)
+                hdr["channel_width"] = np.full(
+                    self.Nfreqs, float(self.channel_width), dtype=np.float64
+                )
+                hdr["flex_spw_id_array"] = np.zeros(self.Nfreqs, dtype=np.int64)
             if self.antenna_names is not None:
                 hdr["antenna_names"] = np.asarray(
                     [np.bytes_(a) for a in self.antenna_names]
                 )
             data = f.create_group("Data")
-            data.create_dataset("visdata", data=self.data_array.astype(np.complex128))
-            data.create_dataset("flags", data=self.flag_array.astype(bool))
-            data.create_dataset("nsamples", data=self.nsample_array.astype(np.float32))
+            vis = self.data_array.astype(np.complex128)
+            flg = self.flag_array.astype(bool)
+            nsmp = self.nsample_array.astype(np.float32)
+            if v1:
+                vis, flg, nsmp = vis[:, 0], flg[:, 0], nsmp[:, 0]
+            data.create_dataset("visdata", data=vis)
+            data.create_dataset("flags", data=flg)
+            data.create_dataset("nsamples", data=nsmp)
 
     # reference-compatible aliases
     read_uvh5 = from_uvh5

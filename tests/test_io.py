@@ -375,3 +375,75 @@ def test_calfits_ant_padding(tmp_path, golomb_visdata):
     assert back.Nants_data == cal.Nants_data
     assert list(back.ant_array) == list(cal.ant_array)
     assert back.antenna_names == cal.antenna_names
+
+
+# uvh5 required header datasets (uvh5 spec / pyuvdata memo). channel_width
+# is scalar in v0.1, per-channel (Nfreqs,) in v1.x; freq_array is
+# (Nspws, Nfreqs) in v0.1, (Nfreqs,) in v1.x.
+_UVH5_REQUIRED_HEADER = [
+    "latitude", "longitude", "altitude", "telescope_name", "instrument",
+    "object_name", "history", "vis_units", "Nants_data", "Nants_telescope",
+    "ant_1_array", "ant_2_array", "antenna_numbers", "antenna_names",
+    "Nbls", "Nblts", "Nfreqs", "Npols", "Nspws", "Ntimes", "channel_width",
+    "freq_array", "integration_time", "lst_array", "polarization_array",
+    "spw_array", "time_array", "uvw_array", "version",
+]
+
+
+@pytest.mark.parametrize("version", ["0.1", "1.0"])
+def test_uvh5_spec_conformance(tmp_path, golomb_visdata, version):
+    """Writer conformance checked through an independent h5py walk of the
+    uvh5 spec required fields, both layouts (VERDICT r1 #7)."""
+    import h5py
+
+    path = os.path.join(str(tmp_path), f"spec_{version}.uvh5")
+    golomb_visdata.write_uvh5(path, version=version)
+    uvd = golomb_visdata
+    with h5py.File(path, "r") as f:
+        assert set(f.keys()) >= {"Header", "Data"}
+        hdr, data = f["Header"], f["Data"]
+        for name in _UVH5_REQUIRED_HEADER:
+            assert name in hdr, f"missing required header dataset {name}"
+        assert hdr["version"][()].decode() == version
+        assert set(data.keys()) == {"visdata", "flags", "nsamples"}
+        nblts, nfreqs, npols = uvd.Nblts, uvd.Nfreqs, uvd.Npols
+        if version == "0.1":
+            assert data["visdata"].shape == (nblts, 1, nfreqs, npols)
+            assert hdr["freq_array"].shape == (1, nfreqs)
+            assert np.asarray(hdr["channel_width"][()]).shape == ()
+        else:
+            assert data["visdata"].shape == (nblts, nfreqs, npols)
+            assert hdr["freq_array"].shape == (nfreqs,)
+            assert hdr["channel_width"].shape == (nfreqs,)
+            assert hdr["flex_spw_id_array"].shape == (nfreqs,)
+        assert data["flags"].dtype == np.bool_
+        assert data["visdata"].dtype == np.complex128
+        assert hdr["ant_1_array"].shape == (nblts,)
+        assert hdr["uvw_array"].shape == (nblts, 3)
+        assert hdr["integration_time"].shape == (nblts,)
+
+    # cross-layout read back: identical content
+    back = VisData.from_uvh5(path)
+    assert np.allclose(back.data_array, uvd.data_array)
+    assert np.allclose(back.freq_array, uvd.freq_array)
+    assert back.channel_width == pytest.approx(uvd.channel_width)
+    assert back.get_antpairs() == uvd.get_antpairs()
+    assert np.array_equal(back.flag_array, uvd.flag_array)
+
+
+def test_uvh5_v1_roundtrip_through_fit(tmp_path, golomb_visdata):
+    """A v1.0-layout file drives the full CLI path identically to v0.1."""
+    from calamity_tpu import calibration
+
+    p0 = os.path.join(str(tmp_path), "v0.uvh5")
+    p1 = os.path.join(str(tmp_path), "v1.uvh5")
+    golomb_visdata.write_uvh5(p0, version="0.1")
+    golomb_visdata.write_uvh5(p1, version="1.0")
+    out = {}
+    for tag, p in (("v0", p0), ("v1", p1)):
+        model, resid, gains, info = calibration.read_calibrate_and_model_dpss(
+            input_data_files=p, maxsteps=30, tol=0.0,
+            min_dly=2.0 / 0.3, offset=2.0 / 0.3,
+        )
+        out[tag] = model.data_array
+    assert np.allclose(out["v0"], out["v1"])
