@@ -123,38 +123,55 @@ def get_auto_weights(uvdata, delay_extent=25.0):
     """Inverse-variance weights from DPSS-smoothed autocorrelations
     (reference calibration.py:916-960).
 
-    Each autocorrelation waterfall is fit per time to wide DPSS modes
-    (half-width ``delay_extent`` ns); cross-baseline weights are
-    1 / (auto_i * auto_j), zeroed at flags."""
+    Each autocorrelation waterfall is fit to wide DPSS modes (half-width
+    ``delay_extent`` ns); cross-baseline weights are 1 / (auto_i * auto_j),
+    zeroed at flags. Unlike the reference's per-(auto, time) tf lstsq loop
+    (calibration.py:938-950), all masked fits are solved as ONE batched
+    normal-equations solve, and the weight write-back walks the blt table
+    once instead of an O(Nbls * Nblts) antpair2ind scan per pair."""
     freqs = np.asarray(uvdata.freq_array[0], dtype=np.float64)
     comps = models.yield_dpss_model_comps_bl_grp(0.0, freqs, offset=delay_extent)
     data_weights = FlagWeights(uvdata, mode="flag")
-    auto_fit = {}
     pols = uvdata.get_pols()
-    for ap in uvdata.get_antpairs():
-        if ap[0] != ap[1]:
-            continue
-        for pol in pols:
-            d_wf = uvdata.get_data(ap + (pol,))
-            unflagged = ~uvdata.get_flags(ap + (pol,))
-            smooth = np.zeros(d_wf.shape, dtype=np.float64)
-            for ti in range(d_wf.shape[0]):
-                fs = unflagged[ti]
-                if not np.any(fs):
-                    smooth[ti] = 1.0
-                    continue
-                c, *_ = np.linalg.lstsq(comps[fs], d_wf[ti, fs].real, rcond=None)
-                smooth[ti] = comps @ c
-            auto_fit[(ap[0], pol)] = smooth
-    if not auto_fit:
+    auto_ants = [ap[0] for ap in uvdata.get_antpairs() if ap[0] == ap[1]]
+    if not auto_ants:
         raise ValueError("no autocorrelations present; cannot build auto weights")
-    for ap in uvdata.get_antpairs():
-        for pnum, pol in enumerate(pols):
-            w = 1.0 / (auto_fit[(ap[0], pol)] * auto_fit[(ap[1], pol)])
-            w = w * (~uvdata.get_flags(ap + (pol,)))
-            rows = data_weights.antpair2ind(*ap)
-            order = np.argsort(data_weights.time_array[rows], kind="stable")
-            data_weights.weights_array[rows[order], 0, :, pnum] = w
+
+    # (nauto, npol, ntimes, nfreqs) stacked waterfalls + unflagged masks
+    D = np.stack(
+        [[uvdata.get_data((a, a, pol)).real for pol in pols] for a in auto_ants]
+    ).astype(np.float64)
+    M = np.stack(
+        [[~uvdata.get_flags((a, a, pol)) for pol in pols] for a in auto_ants]
+    ).astype(np.float64)
+
+    # batched masked lstsq via normal equations: one solve for every
+    # (auto, pol, time) row at once
+    G = np.einsum("aptf,fv,fw->aptvw", M, comps, comps)
+    b = np.einsum("aptf,fv->aptv", M * D, comps)
+    nvec = comps.shape[1]
+    any_unflagged = M.any(axis=-1)
+    ridge = 1e-10 * np.maximum(
+        np.einsum("aptvv->apt", G)[..., None, None] / nvec, 1.0
+    )
+    G = G + (ridge + (~any_unflagged)[..., None, None]) * np.eye(nvec)
+    coeffs = np.linalg.solve(G, b[..., None])[..., 0]
+    smooth = np.einsum("fv,aptv->aptf", comps, coeffs)
+    smooth = np.where(any_unflagged[..., None], smooth, 1.0)
+
+    ant_slot = {int(a): i for i, a in enumerate(auto_ants)}
+    # one pass over the blt table to group rows by pair
+    pair_rows: dict = {}
+    for row, (a1, a2) in enumerate(
+        zip(uvdata.ant_1_array.tolist(), uvdata.ant_2_array.tolist())
+    ):
+        pair_rows.setdefault((a1, a2), []).append(row)
+    for (a1, a2), rows in pair_rows.items():
+        rows = np.asarray(rows)
+        rows = rows[np.argsort(uvdata.time_array[rows], kind="stable")]
+        w = 1.0 / (smooth[ant_slot[a1]] * smooth[ant_slot[a2]])  # (npol, nt, nf)
+        w = np.transpose(w, (1, 2, 0))  # (ntimes, nfreqs, npols)
+        data_weights.weights_array[rows, 0] = w * (~uvdata.flag_array[rows, 0])
     return data_weights
 
 

@@ -289,6 +289,61 @@ class FitSpec:
     # ------------------------------------------------------------------ #
     # per-(time, pol) extraction
     # ------------------------------------------------------------------ #
+    def _weights_rows(self, weights):
+        """Per-chunk (ntimes, ngrps, nbls) row tables into a weights object.
+
+        Built once per weights object and cached (same pattern as
+        ``meta.rows``), replacing the per-(group, baseline) Python lookup
+        the reference does per (time, pol) slice (calibration.py:282-298)."""
+        cache = getattr(self, "_wrows_cache", None)
+        if cache is None:
+            cache = self._wrows_cache = {}
+        key = id(weights)
+        if key in cache:
+            return cache[key][1]
+        wtimes = np.asarray(weights.time_array)
+        pair_rows: Dict[tuple, list] = {}
+        for row, (a1, a2) in enumerate(
+            zip(weights.ant_1_array.tolist(), weights.ant_2_array.tolist())
+        ):
+            pair_rows.setdefault((a1, a2), []).append(row)
+        tsorted = {}
+        for ap, rows in pair_rows.items():
+            rows = np.asarray(rows)
+            tsorted[ap] = rows[np.argsort(wtimes[rows], kind="stable")]
+        per_chunk = []
+        for meta in self.meta:
+            ngrps, nbls = meta.conj.shape
+            wrows = np.zeros((self.ntimes, ngrps, nbls), dtype=np.int64)
+            for g in range(ngrps):
+                for b in range(nbls):
+                    if not meta.valid[g, b]:
+                        continue
+                    ap = tuple(meta.antpairs[g, b])
+                    rows = tsorted.get(ap)
+                    if rows is None:
+                        rows = tsorted.get(ap[::-1])
+                    if rows is None:
+                        raise KeyError(f"weights missing antpair {ap}")
+                    if len(rows) == self.ntimes and np.allclose(
+                        wtimes[rows], self.times, rtol=0.0, atol=1e-7
+                    ):
+                        wrows[:, g, b] = rows
+                    else:
+                        for ti, t in enumerate(self.times):
+                            m = np.nonzero(
+                                np.isclose(wtimes[rows], t, rtol=0.0, atol=1e-7)
+                            )[0]
+                            if len(m) == 0:
+                                raise KeyError(
+                                    f"weights missing antpair {ap} at time {t}"
+                                )
+                            wrows[ti, g, b] = rows[m[0]]
+            per_chunk.append(wrows)
+        # hold a reference to the weights object so id() cannot be recycled
+        cache[key] = (weights, per_chunk)
+        return per_chunk
+
     @staticmethod
     def _conj_pol_ind(visdata, polnum):
         """Column index of conj(polnum) in visdata; == direct index for
@@ -324,25 +379,17 @@ class FitSpec:
         pind = int(np.nonzero(visdata.polarization_array == polnum)[0][0])
         pind_c = self._conj_pol_ind(visdata, polnum)
 
-        wrow_map = None
-        wpind = None
+        wpind = wpind_c = None
+        wrows_chunks = None
         if weights is not None:
             wpolnum = polstr2num(polarization, x_orientation=weights.x_orientation)
             wpind = int(np.nonzero(weights.polarization_array == wpolnum)[0][0])
-            wrow_map = {}
-            for row, (a1, a2, t) in enumerate(
-                zip(
-                    weights.ant_1_array.tolist(),
-                    weights.ant_2_array.tolist(),
-                    weights.time_array.tolist(),
-                )
-            ):
-                if np.isclose(t, time, rtol=0.0, atol=1e-7):
-                    wrow_map[(a1, a2)] = row
+            wpind_c = self._conj_pol_ind(weights, wpolnum)
+            wrows_chunks = self._weights_rows(weights)
 
         data_r, data_i, wgts = [], [], []
         wgtsum = 0.0
-        for meta in self.meta:
+        for cnum, meta in enumerate(self.meta):
             rows = meta.rows[tind]  # (ngrps, nbls)
             cj = meta.conj[..., None]
             if pind_c == pind or not meta.conj.any():
@@ -378,18 +425,21 @@ class FitSpec:
             if weights is None:
                 w = (~flg).astype(self.dtype)
             else:
-                w = np.zeros(flg.shape, dtype=self.dtype)
-                ngrps, nbls = rows.shape
-                for g in range(ngrps):
-                    for b in range(nbls):
-                        if not meta.valid[g, b]:
-                            continue
-                        ap = tuple(meta.antpairs[g, b])
-                        wrow = wrow_map.get(ap, wrow_map.get(ap[::-1]))
-                        if wrow is None:
-                            raise KeyError(f"weights missing antpair {ap}")
-                        w[g, b] = weights.weights_array[wrow, 0, :, wpind]
-                w = w * (~flg)
+                wrows = wrows_chunks[cnum][tind]  # (ngrps, nbls)
+                if wpind_c == wpind or not meta.conj.any():
+                    w = weights.weights_array[wrows, 0, :, wpind]
+                else:
+                    if wpind_c < 0:
+                        raise KeyError(
+                            f"conjugate polarization of {polarization} not "
+                            "present in weights"
+                        )
+                    w = np.where(
+                        cj,
+                        weights.weights_array[wrows, 0, :, wpind_c],
+                        weights.weights_array[wrows, 0, :, wpind],
+                    )
+                w = w.astype(self.dtype) * (~flg)
             if nsamples_in_weights:
                 w = w * nsmp
             w = w * meta.valid[..., None]  # zero-weight padding entries

@@ -220,6 +220,62 @@ def test_get_auto_weights(redundant_visdata):
     assert np.all(vals > 0)
 
 
+def test_get_auto_weights_matches_per_row_lstsq(noise_with_flags):
+    """The batched normal-equations solve reproduces per-(auto, time)
+    masked lstsq smoothing under realistic flags (VERDICT r1 #4)."""
+    uvd = noise_with_flags.copy()
+    # add autos (the fixture has none)
+    from calamity_tpu import simulate as _sim
+
+    auto = _sim.make_visdata(
+        np.zeros((1, 3)), uvd.freq_array[0], ntimes=uvd.Ntimes, include_autos=True
+    )
+    nblt_a = len(auto.time_array)
+    for ant in np.unique(np.concatenate([uvd.ant_1_array, uvd.ant_2_array])):
+        a = auto.copy()
+        a.ant_1_array[:] = ant
+        a.ant_2_array[:] = ant
+        a.time_array = np.repeat(np.unique(uvd.time_array), 1)[:nblt_a]
+        a.data_array = np.abs(a.data_array).real.astype(complex) + 10.0 + ant
+        uvd = uvd + a
+    w = calibration.get_auto_weights(uvd)
+    freqs = np.asarray(uvd.freq_array[0], dtype=np.float64)
+    comps = models.yield_dpss_model_comps_bl_grp(0.0, freqs, offset=25.0)
+    # brute-force per-row lstsq for one cross pair
+    ap = next(p for p in uvd.get_antpairs() if p[0] != p[1])
+    pol = uvd.get_pols()[0]
+    smooth = {}
+    for ant in ap:
+        d = uvd.get_data((ant, ant, pol)).real
+        m = ~uvd.get_flags((ant, ant, pol))
+        s = np.ones(d.shape)
+        for ti in range(d.shape[0]):
+            if m[ti].any():
+                c, *_ = np.linalg.lstsq(comps[m[ti]], d[ti, m[ti]], rcond=None)
+                s[ti] = comps @ c
+        smooth[ant] = s
+    expect = 1.0 / (smooth[ap[0]] * smooth[ap[1]])
+    expect = expect * ~uvd.get_flags(ap + (pol,))
+    rows = w.antpair2ind(*ap)
+    rows = rows[np.argsort(w.time_array[rows], kind="stable")]
+    got = w.weights_array[rows, 0, :, 0]
+    assert np.allclose(got, expect, rtol=1e-5, atol=1e-8)
+
+
+def test_weighted_pack_uses_cached_row_table(sky_model_projected, dpss_vectors, gains, weights):
+    """The weights-row lookup is built once per weights object and reused
+    across (time, pol) extractions; results match fresh construction."""
+    ants_map = {int(a): i for i, a in enumerate(gains.ant_array)}
+    spec = FitSpec(sky_model_projected, dpss_vectors, ants_map, dtype=np.float64)
+    t = spec.times[0]
+    r1 = spec.pack_data(sky_model_projected, "xx", t, weights=weights)
+    assert len(spec._wrows_cache) == 1
+    r2 = spec.pack_data(sky_model_projected, "xx", t, weights=weights)
+    assert len(spec._wrows_cache) == 1  # reused, not rebuilt
+    for a, b in zip(r1[2], r2[2]):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
 # --------------------------------------------------------------------- #
 # integration: convergence-ratio tests
 # --------------------------------------------------------------------- #
