@@ -304,6 +304,8 @@ def calibrate_and_model_tensor(
                 model_regularization=model_regularization,
                 correct_model=correct_model,
                 correct_resid=correct_resid,
+                use_pallas=use_pallas,
+                remat=remat,
                 verbose=verbose,
                 opt_kwargs=opt_kwargs,
             )
@@ -335,6 +337,8 @@ def calibrate_and_model_tensor(
             correct_model=correct_model,
             correct_resid=correct_resid,
             mesh=mesh,
+            use_pallas=use_pallas,
+            remat=remat,
             verbose=verbose,
             opt_kwargs=opt_kwargs,
         )
@@ -498,6 +502,8 @@ def _calibrate_time_scan(
     model_regularization,
     correct_model,
     correct_resid,
+    use_pallas,
+    remat,
     verbose,
     opt_kwargs,
 ):
@@ -520,6 +526,8 @@ def _calibrate_time_scan(
         use_min=bool(use_min),
         freeze_model=bool(freeze_model),
         regularization="sum" if model_regularization == "sum" else None,
+        use_pallas=bool(use_pallas),
+        remat=bool(remat),
     )
     for polnum, pol in enumerate(uvdata.get_pols()):
         usable = []  # (time_index, time, rms)
@@ -675,6 +683,8 @@ def _calibrate_time_parallel(
     correct_model,
     correct_resid,
     mesh,
+    use_pallas,
+    remat,
     verbose,
     opt_kwargs,
 ):
@@ -797,21 +807,32 @@ def _calibrate_time_parallel(
     )
     fg_r_b, fg_i_b, data_r_b, data_i_b, wgts_b = [], [], [], [], []
     fit_chunks = []
-    shared_batched = []
     for cnum in range(nchunks):
         comps, a0, a1 = chunks[cnum]
         ngrps = a0.shape[0]
-        # shared-BATCHED chunks (1 < U < ngrps) rely on the ngrps = U * gmax
-        # layout: group padding would misalign groups to operators, so these
-        # chunks keep their group axis and replicate over 'bl' instead
+        # shared-BATCHED chunks (1 < U < ngrps) use the class-major layout
+        # ngrps = U * gmax (each block of gmax consecutive groups shares
+        # operator u). To shard them over 'bl' the operator-class axis U is
+        # padded to a mesh multiple with zero operators, which appends
+        # gmax * (U_pad - U) zero-weight dummy groups at the END of the flat
+        # group axis — shard boundaries then land exactly on class
+        # boundaries, so the (ngrps -> U, gmax) reshape inside fg_model and
+        # the einsum over operator classes stay shard-local; XLA only
+        # inserts the scalar-loss / gain-gradient psum over 'bl'.
         is_sb = 1 < comps.shape[0] < ngrps
-        shared_batched.append(is_sb)
-        ngrps_pad = ngrps if is_sb else -(-ngrps // n_bl) * n_bl
-        # plain shared chunks keep their single comps matrix (group dim 1)
-        comps_pad = (
-            comps if comps.shape[0] != ngrps
-            else _pad_axis(comps, 0, ngrps_pad)
-        )
+        if is_sb:
+            nu = comps.shape[0]
+            gmax = ngrps // nu
+            nu_pad = -(-nu // n_bl) * n_bl
+            ngrps_pad = nu_pad * gmax
+            comps_pad = _pad_axis(comps, 0, nu_pad)
+        else:
+            ngrps_pad = -(-ngrps // n_bl) * n_bl
+            # plain shared chunks keep their single comps matrix (group dim 1)
+            comps_pad = (
+                comps if comps.shape[0] != ngrps
+                else _pad_axis(comps, 0, ngrps_pad)
+            )
         fit_chunks.append(
             (
                 comps_pad,
@@ -839,41 +860,23 @@ def _calibrate_time_parallel(
         from jax.sharding import NamedSharding, PartitionSpec
 
         replicated4 = NamedSharding(mesh, PartitionSpec(None, None, None, None))
-        ants_nobl = NamedSharding(mesh, PartitionSpec(None, None))
-        coeffs_nobl = NamedSharding(mesh, PartitionSpec("data", None, None))
-        data_nobl = NamedSharding(mesh, PartitionSpec("data", None, None, None))
         fit_chunks = tuple(
             (
-                # comps shard over 'bl' only when carried per group; shared /
-                # shared-batched operator tables replicate
-                jax.device_put(
-                    c, sh["comps"] if c.shape[0] == a0.shape[0] else replicated4
-                ),
-                jax.device_put(a0, sh["ants"] if not sb else ants_nobl),
-                jax.device_put(a1, sh["ants"] if not sb else ants_nobl),
+                # comps shard their leading axis over 'bl': per-group chunks
+                # on the group axis, shared-batched chunks on the padded
+                # operator-class axis; only the single plain-shared operator
+                # matrix (group dim 1) replicates
+                jax.device_put(c, replicated4 if c.shape[0] == 1 else sh["comps"]),
+                jax.device_put(a0, sh["ants"]),
+                jax.device_put(a1, sh["ants"]),
             )
-            for (c, a0, a1), sb in zip(fit_chunks, shared_batched)
+            for (c, a0, a1) in fit_chunks
         )
-        fg_r_b = [
-            jax.device_put(x, sh["coeffs"] if not sb else coeffs_nobl)
-            for x, sb in zip(fg_r_b, shared_batched)
-        ]
-        fg_i_b = [
-            jax.device_put(x, sh["coeffs"] if not sb else coeffs_nobl)
-            for x, sb in zip(fg_i_b, shared_batched)
-        ]
-        data_r_b = [
-            jax.device_put(x, sh["data"] if not sb else data_nobl)
-            for x, sb in zip(data_r_b, shared_batched)
-        ]
-        data_i_b = [
-            jax.device_put(x, sh["data"] if not sb else data_nobl)
-            for x, sb in zip(data_i_b, shared_batched)
-        ]
-        wgts_b = [
-            jax.device_put(x, sh["data"] if not sb else data_nobl)
-            for x, sb in zip(wgts_b, shared_batched)
-        ]
+        fg_r_b = [jax.device_put(x, sh["coeffs"]) for x in fg_r_b]
+        fg_i_b = [jax.device_put(x, sh["coeffs"]) for x in fg_i_b]
+        data_r_b = [jax.device_put(x, sh["data"]) for x in data_r_b]
+        data_i_b = [jax.device_put(x, sh["data"]) for x in data_i_b]
+        wgts_b = [jax.device_put(x, sh["data"]) for x in wgts_b]
     else:
         fit_chunks = tuple(fit_chunks)
 
@@ -885,6 +888,8 @@ def _calibrate_time_parallel(
         use_min=bool(use_min),
         freeze_model=bool(freeze_model),
         regularization="sum" if model_regularization == "sum" else None,
+        use_pallas=bool(use_pallas),
+        remat=bool(remat),
     )
     result = batched_fit_core(
         cfg, fit_chunks, tuple(data_r_b), tuple(data_i_b), tuple(wgts_b),

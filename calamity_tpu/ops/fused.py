@@ -54,16 +54,14 @@ def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=_VMEM_LIMIT // 3
     Tiles are multiples of 8: Mosaic requires the second-to-last block dim
     to be sublane-aligned (8) for every buffer whose block includes the
     group axis. The budget is conservative (1/3 of the requested scoped
-    limit) because Pallas double-buffers input blocks and the unrolled dot
-    outputs are lane-padded."""
+    limit) because Pallas double-buffers input blocks."""
     for tg in (32, 16, 8):
         if ngrps % tg:
             continue
-        # comps tile + v tile + 5 (TG,F) buffers + per-unroll padded dot outs
+        # comps tile + v tile + 5 (TG,F) input buffers + headroom
         need = (
             tg * nfreqs * nvecs * dtype_bytes
-            + 7 * tg * nfreqs * dtype_bytes
-            + tg * nfreqs * 128 * dtype_bytes // 2
+            + 9 * tg * nfreqs * dtype_bytes
         )
         if need <= vmem_budget:
             return tg
@@ -91,36 +89,41 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
     comps_ref: (TG, F, V); coeffs_ref: (2, TG, V); pr/pi/dr/di/w: (TG, F)
     loss_ref: (8, 128) shared accumulator; v_ref: (2, TG, F)
 
-    The TPU grid executes sequentially, so every program accumulates its
-    partial chi-square into the same lane-aligned accumulator block.
+    The whole tile is TWO batched matvecs (batch dim TG) + vectorized
+    elementwise work — no per-group unroll, so the Mosaic program stays
+    O(1) ops regardless of tile size (the unrolled variant's program blew
+    up compile memory at F=1536). The TPU grid executes sequentially, so
+    every program accumulates its partial chi-square into the same
+    lane-aligned accumulator block.
     """
-    tg = comps_ref.shape[0]
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         loss_ref[...] = jnp.zeros_like(loss_ref)
 
-    acc = jnp.zeros((), jnp.float32)
-    for g in range(tg):  # static unroll over the tile
-        cmat = comps_ref[g]  # (F, V)
-        cf = coeffs_ref[:, g, :]  # (2, V)
-        v = jax.lax.dot_general(
-            cmat, cf,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (F, 2)
-        vr = v[:, 0]
-        vi = v[:, 1]
-        v_ref[0, g, :] = vr
-        v_ref[1, g, :] = vi
-        pr = pr_ref[g, :]
-        pi = pi_ref[g, :]
-        mr = pr * vr + pi * vi
-        mi = -pi * vr + pr * vi
-        er = dr_ref[g, :] - mr
-        ei = di_ref[g, :] - mi
-        acc = acc + jnp.sum(w_ref[g, :] * (er * er + ei * ei))
+    comps = comps_ref[...]  # (TG, F, V)
+    dims = (((2,), (1,)), ((0,), (0,)))  # contract V, batch TG
+    vr = jax.lax.dot_general(
+        comps, coeffs_ref[0],
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TG, F)
+    vi = jax.lax.dot_general(
+        comps, coeffs_ref[1],
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    v_ref[0] = vr
+    v_ref[1] = vi
+    pr = pr_ref[...]
+    pi = pi_ref[...]
+    mr = pr * vr + pi * vi
+    mi = -pi * vr + pr * vi
+    er = dr_ref[...] - mr
+    ei = di_ref[...] - mi
+    acc = jnp.sum(w_ref[...] * (er * er + ei * ei))
     # place the scalar at [0, 0] without a scatter (unsupported in Mosaic)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -130,30 +133,37 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
 
 def _bwd_kernel(comps_ref, v_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref, gbar_ref,
                 dcoeffs_ref, dpr_ref, dpi_ref):
-    """Backward tile: coefficient + gain-product cotangents in one comps read."""
-    tg = comps_ref.shape[0]
+    """Backward tile: coefficient + gain-product cotangents in one comps read.
+
+    Batched matvecs over the tile, same structure as the forward."""
     gbar = gbar_ref[0, 0]
-    for g in range(tg):
-        vr = v_ref[0, g, :]
-        vi = v_ref[1, g, :]
-        pr = pr_ref[g, :]
-        pi = pi_ref[g, :]
-        w = w_ref[g, :]
-        mr = pr * vr + pi * vi
-        mi = -pi * vr + pr * vi
-        dmr = (-2.0 * gbar) * w * (dr_ref[g, :] - mr)
-        dmi = (-2.0 * gbar) * w * (di_ref[g, :] - mi)
-        dvr = pr * dmr - pi * dmi
-        dvi = pi * dmr + pr * dmi
-        dv = jnp.stack([dvr, dvi], axis=0)  # (2, F)
-        dcoeffs_ref[:, g, :] = jax.lax.dot_general(
-            dv, comps_ref[g],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (2, V)
-        dpr_ref[g, :] = vr * dmr + vi * dmi
-        dpi_ref[g, :] = vi * dmr - vr * dmi
+    vr = v_ref[0]  # (TG, F)
+    vi = v_ref[1]
+    pr = pr_ref[...]
+    pi = pi_ref[...]
+    w = w_ref[...]
+    mr = pr * vr + pi * vi
+    mi = -pi * vr + pr * vi
+    dmr = (-2.0 * gbar) * w * (dr_ref[...] - mr)
+    dmi = (-2.0 * gbar) * w * (di_ref[...] - mi)
+    dvr = pr * dmr - pi * dmi
+    dvi = pi * dmr + pr * dmi
+    comps = comps_ref[...]  # (TG, F, V)
+    dims = (((1,), (1,)), ((0,), (0,)))  # contract F, batch TG
+    dcoeffs_ref[0] = jax.lax.dot_general(
+        dvr, comps,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (TG, V)
+    dcoeffs_ref[1] = jax.lax.dot_general(
+        dvi, comps,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dpr_ref[...] = vr * dmr + vi * dmi
+    dpi_ref[...] = vi * dmr - vr * dmi
 
 
 def _interpret():

@@ -37,16 +37,42 @@ from ..solver.fit import FitConfig
 from ..solver.optimizers import get_optimizer
 
 
-def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts):
-    """Per-batch-element chi-square, shape (nbatch,)."""
-    vmapped = jax.vmap(
-        lambda gr, gi, fr, fi, dr, di, w, comps, a0, a1: mse(
-            *data_model(gr, gi, fr, fi, comps, a0, a1), dr, di, w
-        ),
-        in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None),
-    )
+def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
+                         use_pallas=False, remat=False):
+    """Per-batch-element chi-square, shape (nbatch,).
+
+    ``remat`` checkpoints each chunk's per-slice term (backward recomputes
+    the foreground model instead of saving (nbatch, ngrps, nbls, nfreqs)
+    activations). ``use_pallas`` routes conforming chunks through the fused
+    kernel (ops.fused), vmapped over the batch axis."""
+
+    def one_slice(gr, gi, fr, fi, dr, di, w, comps, a0, a1):
+        return mse(*data_model(gr, gi, fr, fi, comps, a0, a1), dr, di, w)
+
+    if remat:
+        one_slice = jax.checkpoint(one_slice)
+    vmapped = jax.vmap(one_slice, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None))
     total = 0.0
     for cnum, (comps, a0, a1) in enumerate(chunks):
+        if use_pallas:
+            from ..ops.fused import fused_chunk_loss, fused_loss_applicable
+            from ..ops.loss import gain_products
+
+            if fused_loss_applicable(comps) and comps.shape[0] == data_r[cnum].shape[1]:
+
+                def fused_slice(gr, gi, fr, fi, dr, di, w):
+                    pr, pi = gain_products(gr, gi, a0, a1)
+                    coeffs2 = jnp.stack([fr, fi], axis=0)
+                    return fused_chunk_loss(
+                        coeffs2, pr[:, 0], pi[:, 0], comps[:, 0],
+                        dr[:, 0], di[:, 0], w[:, 0],
+                    )
+
+                total = total + jax.vmap(fused_slice)(
+                    g_r, g_i, fg_r[cnum], fg_i[cnum],
+                    data_r[cnum], data_i[cnum], wgts[cnum],
+                )
+                continue
         total = total + vmapped(
             g_r, g_i, fg_r[cnum], fg_i[cnum], data_r[cnum], data_i[cnum], wgts[cnum],
             comps, a0, a1,
@@ -115,6 +141,7 @@ def scanned_warmstart_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts,
                 return chunked_loss(
                     gr, gi, fg_const[0], fg_const[1], chunks,
                     data_r_t, data_i_t, wgts_t, use_pallas=cfg.use_pallas,
+                    remat=cfg.remat,
                 )
 
             p0 = g_params0
@@ -129,7 +156,7 @@ def scanned_warmstart_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts,
                     )
                 return chunked_loss(
                     gr, gi, fr, fi, chunks, data_r_t, data_i_t, wgts_t,
-                    use_pallas=cfg.use_pallas,
+                    use_pallas=cfg.use_pallas, remat=cfg.remat,
                 )
 
             p0 = params0
@@ -212,7 +239,8 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
             )
     else:
         def raw_losses(gr, gi, fr, fi):
-            return batched_chunk_losses(gr, gi, fr, fi, chunks, data_r, data_i, wgts)
+            return batched_chunk_losses(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
+                                        use_pallas=cfg.use_pallas, remat=cfg.remat)
 
     if cfg.freeze_model:
         params0 = (g_r, g_i)

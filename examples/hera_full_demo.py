@@ -38,8 +38,18 @@ def main():
     ap.add_argument("--maxsteps", type=int, default=2000)
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
+    ap.add_argument("--time_parallel", action="store_true",
+                    help="run the batched fit path (sharded over the mesh)")
+    ap.add_argument("--mesh", default=None,
+                    help="'auto' or 'N_DATA,N_BL': shard the fit over a "
+                         "('data','bl') jax.sharding.Mesh")
+    ap.add_argument("--ntimes", type=int, default=1)
     args = ap.parse_args()
 
+    import os
+
+    if args.backend == "cpu":
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     import jax
 
     if args.backend == "cpu":
@@ -84,21 +94,23 @@ def main():
         longitude=simulate.HERA_LON,
         altitude=simulate.HERA_ALT,
         channel_width=100e3,
-        ant_1_array=iu.astype(np.int64),
-        ant_2_array=ju.astype(np.int64),
+        ant_1_array=np.tile(iu, args.ntimes).astype(np.int64),
+        ant_2_array=np.tile(ju, args.ntimes).astype(np.int64),
         antenna_numbers=np.arange(nants, dtype=np.int64),
         antenna_names=[f"ANT{i}" for i in range(nants)],
         antenna_positions=simulate._enu_to_ecef_rel(antpos, simulate.HERA_LAT,
                                                     simulate.HERA_LON),
         freq_array=freqs[None, :],
-        integration_time=np.full(nbls, 10.7),
-        lst_array=np.zeros(nbls),
+        integration_time=np.full(nbls * args.ntimes, 10.7),
+        lst_array=np.zeros(nbls * args.ntimes),
         polarization_array=np.asarray([-5], dtype=np.int64),
-        time_array=np.full(nbls, 2459122.25),
-        uvw_array=vecs,
-        data_array=data[:, None, :, None].astype(np.complex128),
-        flag_array=np.zeros((nbls, 1, args.nfreqs, 1), dtype=bool),
-        nsample_array=np.ones((nbls, 1, args.nfreqs, 1), dtype=np.float32),
+        time_array=np.repeat(2459122.25 + 2.0 * np.arange(args.ntimes), nbls),
+        uvw_array=np.tile(vecs, (args.ntimes, 1)),
+        data_array=np.tile(data[:, None, :, None], (args.ntimes, 1, 1, 1)).astype(
+            np.complex128
+        ),
+        flag_array=np.zeros((nbls * args.ntimes, 1, args.nfreqs, 1), dtype=bool),
+        nsample_array=np.ones((nbls * args.ntimes, 1, args.nfreqs, 1), dtype=np.float32),
     )
     del data, vis_uniq
 
@@ -115,7 +127,19 @@ def main():
     corrupted = cal_utils.apply_gains(uvd, truth, inverse=True)
     del uvd
 
-    stage(f"fitting on backend={jax.default_backend()}")
+    mesh = None
+    if args.mesh is not None:
+        from calamity_tpu.parallel.mesh import make_mesh
+
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            n_data, n_bl = (int(x) for x in args.mesh.split(","))
+            mesh = make_mesh(n_data=n_data, n_bl=n_bl)
+        stage(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
+
+    stage(f"fitting on backend={jax.default_backend()}"
+          f" (time_parallel={args.time_parallel})")
     t0 = time.time()
     model, resid, gains, info = calibration.calibrate_and_model_dpss(
         uvdata=corrupted,
@@ -129,6 +153,8 @@ def main():
         model_regularization="post_hoc",
         nvec_bucketing=True,
         remat=True,
+        time_parallel=args.time_parallel,
+        mesh=mesh,
     )
     t_fit = time.time() - t0
 

@@ -240,3 +240,92 @@ def test_per_slice_freeze_params_stable():
     )
     # slow slice kept moving
     assert not np.array_equal(np.asarray(long.g_r)[1], np.asarray(short.g_r)[1])
+
+
+def _grid_core_multitime(ntimes=2, nside=5, nfreqs=64):
+    """Grid-core array whose packing routes through shared-BATCHED chunks
+    (many operator classes), multi-time, projected onto the DPSS basis."""
+    import itertools
+
+    from calamity_tpu import simulate
+    from calamity_tpu.io.visdata import VisData
+
+    spacing = 14.6
+    xs, ys = np.meshgrid(np.arange(nside), np.arange(nside))
+    antpos = np.zeros((nside * nside, 3))
+    antpos[:, 0] = xs.ravel() * spacing
+    antpos[:, 1] = ys.ravel() * spacing
+    pairs, vecs = [], []
+    for i, j in itertools.combinations(range(nside * nside), 2):
+        v = antpos[j] - antpos[i]
+        if np.linalg.norm(v) <= 2.1 * spacing:
+            pairs.append((i, j))
+            vecs.append(v)
+    vecs = np.asarray(vecs)
+    nbls = len(pairs)
+    freqs = 100e6 + 100e3 * np.arange(nfreqs)
+    uniq, inverse = np.unique(np.round(vecs, 6), axis=0, return_inverse=True)
+    vis_uniq = simulate.point_source_visibilities(uniq, freqs, nsrc=20, seed=2)
+    data1 = vis_uniq[inverse]
+    data = np.concatenate([data1 * (1.0 + 0.1 * t) for t in range(ntimes)])
+    times1 = np.full(nbls, 2459122.25)
+    uvd = VisData(
+        telescope_name="GRID", instrument="GRID",
+        latitude=simulate.HERA_LAT, longitude=simulate.HERA_LON,
+        altitude=simulate.HERA_ALT, channel_width=100e3,
+        ant_1_array=np.tile([p[0] for p in pairs], ntimes).astype(np.int64),
+        ant_2_array=np.tile([p[1] for p in pairs], ntimes).astype(np.int64),
+        antenna_numbers=np.arange(nside * nside, dtype=np.int64),
+        antenna_names=[f"A{i}" for i in range(nside * nside)],
+        antenna_positions=simulate._enu_to_ecef_rel(
+            antpos, simulate.HERA_LAT, simulate.HERA_LON
+        ),
+        freq_array=freqs[None, :],
+        integration_time=np.full(nbls * ntimes, 10.7),
+        lst_array=np.zeros(nbls * ntimes),
+        polarization_array=np.asarray([-5], dtype=np.int64),
+        time_array=np.concatenate([times1 + 2.0 * t for t in range(ntimes)]),
+        uvw_array=np.tile(vecs, (ntimes, 1)),
+        data_array=data[:, None, :, None].astype(np.complex128),
+        flag_array=np.zeros((nbls * ntimes, 1, nfreqs, 1), dtype=bool),
+        nsample_array=np.ones((nbls * ntimes, 1, nfreqs, 1), dtype=np.float32),
+    )
+    comps = models.yield_pbl_dpss_model_comps(uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3)
+    project_onto_dpss(uvd, comps)
+    return uvd, comps
+
+
+def test_shared_batched_sharded_over_mesh():
+    """The flagship full-HERA packing (shared-BATCHED chunks, U operator
+    classes) sharded over the ('data','bl') mesh matches the dense serial
+    fit (VERDICT r1 #1)."""
+    from calamity_tpu.solver.tensorize import FitSpec
+
+    uvd, comps = _grid_core_multitime(ntimes=2)
+    gains0 = cal_utils.blank_uvcal_from_uvdata(uvd)
+    # confirm this packing actually routes through shared-batched chunks
+    ants_map = {int(a): i for i, a in enumerate(gains0.ant_array)}
+    spec = FitSpec(uvd, comps, ants_map, dtype=np.float64, shared_basis=True)
+    assert any(
+        1 < c.comps.shape[0] < c.a0.shape[0] for c in spec.chunks
+    ), "fixture must produce shared-batched chunks"
+
+    common = dict(
+        min_dly=2.0 / 0.3, offset=2.0 / 0.3, uvdata=uvd, gains=gains0,
+        fg_model_comps_dict=comps, maxsteps=1500, tol=1e-11,
+        correct_resid=True, correct_model=True, model_regularization="post_hoc",
+    )
+    mesh = parallel.make_mesh(n_data=2, n_bl=4)
+    m_mesh, r_mesh, g_mesh, hist = calibration.calibrate_and_model_dpss(
+        shared_basis=True, time_parallel=True, mesh=mesh, **common
+    )
+    m_ser, r_ser, g_ser, _ = calibration.calibrate_and_model_dpss(
+        shared_basis=False, **common
+    )
+    assert RMS(m_mesh.data_array) >= 1e2 * RMS(r_mesh.data_array)
+    assert len(hist[0]) == 2
+    assert np.all(np.isfinite(g_mesh.gain_array))
+    assert np.allclose(
+        m_mesh.data_array, m_ser.data_array,
+        atol=1e-4 * RMS(m_ser.data_array), rtol=0,
+    )
