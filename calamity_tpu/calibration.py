@@ -209,6 +209,7 @@ def calibrate_and_model_tensor(
     resume=True,
     use_pallas=False,
     remat=False,
+    comps_precision="float32",
     nvec_bucketing=False,
     shared_basis=True,
     **opt_kwargs,
@@ -306,6 +307,7 @@ def calibrate_and_model_tensor(
                 correct_resid=correct_resid,
                 use_pallas=use_pallas,
                 remat=remat,
+                comps_precision=comps_precision,
                 verbose=verbose,
                 opt_kwargs=opt_kwargs,
             )
@@ -339,6 +341,7 @@ def calibrate_and_model_tensor(
             mesh=mesh,
             use_pallas=use_pallas,
             remat=remat,
+            comps_precision=comps_precision,
             verbose=verbose,
             opt_kwargs=opt_kwargs,
         )
@@ -449,6 +452,7 @@ def calibrate_and_model_tensor(
                 resume=resume,
                 use_pallas=use_pallas,
                 remat=remat,
+                comps_precision=comps_precision,
                 **opt_kwargs,
             )
             spec.insert_model(
@@ -504,6 +508,7 @@ def _calibrate_time_scan(
     correct_resid,
     use_pallas,
     remat,
+    comps_precision,
     verbose,
     opt_kwargs,
 ):
@@ -518,6 +523,16 @@ def _calibrate_time_scan(
 
     nchunks = len(chunks)
     fit_history = {polnum: {} for polnum in range(uvdata.Npols)}
+    if comps_precision == "mixed":
+        raise ValueError(
+            "comps_precision='mixed' is not supported with the warm-started "
+            "time scan (the two precision phases would interleave with the "
+            "sequential warm starts); use 'float32' or 'bfloat16'"
+        )
+    if comps_precision == "bfloat16":
+        from .solver.fit import convert_chunks_dtype
+
+        chunks = convert_chunks_dtype(chunks, jnp.bfloat16)
     cfg = FitConfig(
         optimizer=optimizer,
         opt_kwargs=tuple(sorted(opt_kwargs.items())),
@@ -685,6 +700,7 @@ def _calibrate_time_parallel(
     mesh,
     use_pallas,
     remat,
+    comps_precision,
     verbose,
     opt_kwargs,
 ):
@@ -891,17 +907,60 @@ def _calibrate_time_parallel(
         use_pallas=bool(use_pallas),
         remat=bool(remat),
     )
-    result = batched_fit_core(
-        cfg, fit_chunks, tuple(data_r_b), tuple(data_i_b), tuple(wgts_b),
-        g_r_b, g_i_b, tuple(fg_r_b), tuple(fg_i_b), prior_r_b, prior_i_b,
-    )
-    nsteps = int(result.nsteps)
-    history = np.asarray(result.loss_history[:nsteps], dtype=np.float64)  # (nsteps, nbatch)
-    nsteps_slice = (
-        np.asarray(result.nsteps_slice)
-        if result.nsteps_slice is not None
-        else np.full(len(slices), nsteps)
-    )
+    def run_batched(chs, gr, gi, fr, fi, opt_state0=None):
+        res = batched_fit_core(
+            cfg, chs, tuple(data_r_b), tuple(data_i_b), tuple(wgts_b),
+            gr, gi, tuple(fr), tuple(fi), prior_r_b, prior_i_b, opt_state0,
+        )
+        n = int(res.nsteps)
+        hist = np.asarray(res.loss_history[:n], dtype=np.float64)  # (n, nbatch)
+        ns = (
+            np.asarray(res.nsteps_slice)
+            if res.nsteps_slice is not None
+            else np.full(nbatch, n)
+        )
+        return res, hist, ns
+
+    # comps precision for the descent (docs/BF16_COMPS.md): bf16 basis
+    # tensors halve the dominant HBM traffic; "mixed" polishes in f32 from
+    # the bf16 warm start to recover the full f32 convergence floor
+    if comps_precision in ("bfloat16", "mixed"):
+        from .solver.fit import convert_chunks_dtype
+
+        fit_chunks_lo = convert_chunks_dtype(fit_chunks, jnp.bfloat16)
+    if comps_precision == "bfloat16":
+        result, history, nsteps_slice = run_batched(
+            fit_chunks_lo, g_r_b, g_i_b, fg_r_b, fg_i_b
+        )
+        slice_losses = [
+            history[: int(nsteps_slice[b]), b].tolist() for b in range(len(slices))
+        ]
+    elif comps_precision == "mixed":
+        res1, hist1, ns1 = run_batched(fit_chunks_lo, g_r_b, g_i_b, fg_r_b, fg_i_b)
+        echo(
+            f"{datetime.datetime.now()} bf16 phase done ({int(res1.nsteps)} steps); "
+            "polishing in float32...\n",
+            verbose=verbose,
+        )
+        # carry the optimizer state across the precision switch: the f32
+        # landscape differs from the bf16 one only at the quantization
+        # floor, so the adapted moments stay well-scaled and the polish
+        # phase converges in a fraction of a fresh descent's steps
+        result, hist2, ns2 = run_batched(
+            fit_chunks, res1.g_r, res1.g_i, res1.fg_r, res1.fg_i,
+            opt_state0=res1.opt_state,
+        )
+        slice_losses = [
+            hist1[: int(ns1[b]), b].tolist() + hist2[: int(ns2[b]), b].tolist()
+            for b in range(len(slices))
+        ]
+    else:
+        result, history, nsteps_slice = run_batched(
+            fit_chunks, g_r_b, g_i_b, fg_r_b, fg_i_b
+        )
+        slice_losses = [
+            history[: int(nsteps_slice[b]), b].tolist() for b in range(len(slices))
+        ]
     g_r_out = np.asarray(result.g_r)
     g_i_out = np.asarray(result.g_i)
     fg_r_out = [np.asarray(x) for x in result.fg_r]
@@ -909,9 +968,7 @@ def _calibrate_time_parallel(
 
     for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
         # per-slice history ends at that slice's convergence step
-        fit_history[polnum][time_index] = {
-            "loss": history[: int(nsteps_slice[b]), b].tolist()
-        }
+        fit_history[polnum][time_index] = {"loss": slice_losses[b]}
         fg_r_s = tuple(
             jnp.asarray(fg_r_out[cnum][b, : chunks[cnum][1].shape[0]])
             for cnum in range(nchunks)
@@ -1296,6 +1353,13 @@ def fitting_argparser():
                          "(sharded over all devices when more than one is present).")
     tp.add_argument("--use_pallas", default=False, action="store_true",
                     help="Use the fused Pallas forward+loss kernel when shapes allow.")
+    tp.add_argument("--comps_precision", default="float32", type=str,
+                    choices=["float32", "bfloat16", "mixed"],
+                    help="Basis-tensor storage precision during the descent: "
+                         "bfloat16 halves the dominant HBM traffic (~1.7x "
+                         "faster steps, bf16 convergence floor); mixed "
+                         "descends in bf16 then polishes in float32 "
+                         "(full floor, most of the speed).")
     tp.add_argument("--checkpoint_dir", default=None, type=str,
                     help="Directory for mid-fit checkpoints (enables resume).")
     tp.add_argument("--checkpoint_every", default=1000, type=int,

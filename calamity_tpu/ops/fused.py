@@ -2,18 +2,35 @@
 
 This is the north-star hot path (SURVEY.md §3.2, BASELINE.json): per chunk,
 
-    v      = comps @ coeffs            (basis matvec, MXU)
+    v      = comps @ coeffs            (basis matvec)
     model  = (g_i conj g_j) * v        (complex product in real arithmetic)
     loss  += sum(w * |data - model|^2) (weighted reduction)
 
-XLA executes this as a matmul + several elementwise/reduce kernels with the
-intermediates round-tripping HBM. The Pallas version streams one tile of
-``comps`` (by far the largest operand) through VMEM exactly ONCE per pass:
-the forward kernel produces the per-tile loss partials and the foreground
-visibilities v in the same read, and the backward kernel produces both
-coefficient cotangents and the gain-product cotangents in one more read.
-Per descent step the dominant HBM traffic is therefore 2x the comps bytes —
-the information-theoretic minimum for a first-order method.
+The step is bound by reading ``comps`` (by far the largest operand) from
+HBM — the floor is 2x the comps bytes per fwd+bwd step (one read per pass;
+a first-order method cannot do better). HYBRID DESIGN, chosen from
+hardware measurements at bench shapes (G=2048, F=1536, V=128, v5e):
+
+- FORWARD: a Pallas kernel streams each comps tile through VMEM once and
+  produces the per-tile loss partials and the foreground visibilities v in
+  the same read. The basis matvec has only TWO right-hand columns
+  (real+imag coefficients), so the 128x128 MXU would run at 2/128
+  utilization; the kernel contracts on the VPU instead — broadcast-multiply
+  the (TG, F, V) comps tile by the (TG, 1, V) coefficients and lane-reduce
+  over V. (This also sidesteps Mosaic's missing batched-dot lowering in
+  current JAX.) Measured: 2.99 ms vs XLA's 3.10 (f32), 2.32 vs 2.42 (bf16).
+- BACKWARD: plain XLA (see _bwd_xla) — XLA's transpose contraction runs at
+  the comps-read floor, while a Pallas backward kernel measured ~1.8x
+  slower (lane-major dv factors force Mosaic relayouts against the
+  sublane-major comps tile).
+
+Context for the design: XLA alone compiles this loss+grad to within ~7% of
+the MEASURED achievable HBM bandwidth (666 GB/s f32 read, 592 GB/s bf16 —
+81%/72% of v5e's 819 nominal): 5.16 ms/step f32 vs a 4.8 ms floor, 3.12
+ms/step bf16 vs ~2.9. The hybrid buys the remaining few percent on the
+forward. The bigger lever is bfloat16 comps storage, which halves the
+dominant traffic (docs/BF16_COMPS.md): ``comps`` may be float32 or
+bfloat16 (upcast in-kernel; all accumulation f32).
 
 The gain gather g[a0], g[a1] -> (pr, pi) is pre-computed outside the kernel
 (gains are (Nants, Nfreqs), tiny and replicated; XLA handles the gather and
@@ -25,27 +42,22 @@ Layout notes (see /opt/skills/guides/pallas_guide.md): last dims F and V
 should be multiples of 128 for clean tiling; `fused_loss_applicable` gates
 usage accordingly, and non-conforming problems use the XLA path.
 
-Status: HARDWARE-VERIFIED on TPU v5e at moderate shapes (G=16, F=256,
+Status: HARDWARE-VERIFIED on TPU v5e at full bench shapes (G=2048, F=1536,
 V=128): forward loss and every gradient match the XLA path to float32
-precision (rel. error ~3e-8 with HIGHEST-precision dots). Also verified in
-interpret mode on CPU (tests/test_fused.py). The kernel stays opt-in
-(``use_pallas=True``): at full bench shapes (F=1536) this development
-machine's remote-compile helper is OOM-killed — an environment limit of
-the relay, not a kernel defect; the XLA path measures 5.4 ms/step vs a
-~4 ms HBM roofline, so the fused path's remaining headroom is ~25%. On
-directly-attached TPUs enable it after a one-off compile check.
+precision; see docs/DESIGN.md for measured step times.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
 _VMEM_LIMIT = 100 * 2**20  # raise Mosaic's 16MB scoped default (v5e: 128MB)
+
+_COMPS_DTYPES = (jnp.float32, jnp.bfloat16)
 
 
 def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=_VMEM_LIMIT // 3):
@@ -54,14 +66,15 @@ def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=_VMEM_LIMIT // 3
     Tiles are multiples of 8: Mosaic requires the second-to-last block dim
     to be sublane-aligned (8) for every buffer whose block includes the
     group axis. The budget is conservative (1/3 of the requested scoped
-    limit) because Pallas double-buffers input blocks."""
+    limit) because Pallas double-buffers input blocks and the VPU
+    contraction materializes one f32 product tile."""
     for tg in (32, 16, 8):
         if ngrps % tg:
             continue
-        # comps tile + v tile + 5 (TG,F) input buffers + headroom
+        # comps tile + f32 product temp + v tile + 7 (TG,F) buffers
         need = (
-            tg * nfreqs * nvecs * dtype_bytes
-            + 9 * tg * nfreqs * dtype_bytes
+            tg * nfreqs * nvecs * (dtype_bytes + 4)
+            + 9 * tg * nfreqs * 4
         )
         if need <= vmem_budget:
             return tg
@@ -75,10 +88,10 @@ def fused_loss_applicable(comps):
     ngrps, nbls, nfreqs, nvecs = comps.shape
     return (
         nbls == 1
-        and comps.dtype == jnp.float32
+        and comps.dtype in _COMPS_DTYPES
         and nfreqs % 128 == 0
         and nvecs % 128 == 0
-        and _pick_tile(ngrps, nfreqs, nvecs) is not None
+        and _pick_tile(ngrps, nfreqs, nvecs, comps.dtype.itemsize) is not None
     )
 
 
@@ -86,35 +99,25 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
                 loss_ref, v_ref):
     """One group-tile: loss partial + foreground visibilities.
 
-    comps_ref: (TG, F, V); coeffs_ref: (2, TG, V); pr/pi/dr/di/w: (TG, F)
-    loss_ref: (8, 128) shared accumulator; v_ref: (2, TG, F)
+    comps_ref: (TG, F, V) f32 or bf16; coeffs_ref: (2, TG, V); pr/pi/dr/di/w:
+    (TG, F); loss_ref: (8, 128) shared accumulator; v_ref: (2, TG, F)
 
-    The whole tile is TWO batched matvecs (batch dim TG) + vectorized
-    elementwise work — no per-group unroll, so the Mosaic program stays
-    O(1) ops regardless of tile size (the unrolled variant's program blew
-    up compile memory at F=1536). The TPU grid executes sequentially, so
-    every program accumulates its partial chi-square into the same
-    lane-aligned accumulator block.
+    The basis matvec is a broadcast multiply + lane reduction on the VPU
+    (see module docstring); the whole tile is vectorized — no per-group
+    unroll, so the Mosaic program stays O(1) ops regardless of tile size.
+    The TPU grid executes sequentially, so every program accumulates its
+    partial chi-square into the same lane-aligned accumulator block.
     """
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
         loss_ref[...] = jnp.zeros_like(loss_ref)
 
-    comps = comps_ref[...]  # (TG, F, V)
-    dims = (((2,), (1,)), ((0,), (0,)))  # contract V, batch TG
-    vr = jax.lax.dot_general(
-        comps, coeffs_ref[0],
-        dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (TG, F)
-    vi = jax.lax.dot_general(
-        comps, coeffs_ref[1],
-        dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    comps = comps_ref[...].astype(jnp.float32)  # (TG, F, V)
+    cr = coeffs_ref[0]  # (TG, V)
+    ci = coeffs_ref[1]
+    vr = jnp.sum(comps * cr[:, None, :], axis=-1)  # (TG, F) lane reduce
+    vi = jnp.sum(comps * ci[:, None, :], axis=-1)
     v_ref[0] = vr
     v_ref[1] = vi
     pr = pr_ref[...]
@@ -131,48 +134,13 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
     loss_ref[...] = loss_ref[...] + pad
 
 
-def _bwd_kernel(comps_ref, v_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref, gbar_ref,
-                dcoeffs_ref, dpr_ref, dpi_ref):
-    """Backward tile: coefficient + gain-product cotangents in one comps read.
-
-    Batched matvecs over the tile, same structure as the forward."""
-    gbar = gbar_ref[0, 0]
-    vr = v_ref[0]  # (TG, F)
-    vi = v_ref[1]
-    pr = pr_ref[...]
-    pi = pi_ref[...]
-    w = w_ref[...]
-    mr = pr * vr + pi * vi
-    mi = -pi * vr + pr * vi
-    dmr = (-2.0 * gbar) * w * (dr_ref[...] - mr)
-    dmi = (-2.0 * gbar) * w * (di_ref[...] - mi)
-    dvr = pr * dmr - pi * dmi
-    dvi = pi * dmr + pr * dmi
-    comps = comps_ref[...]  # (TG, F, V)
-    dims = (((1,), (1,)), ((0,), (0,)))  # contract F, batch TG
-    dcoeffs_ref[0] = jax.lax.dot_general(
-        dvr, comps,
-        dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (TG, V)
-    dcoeffs_ref[1] = jax.lax.dot_general(
-        dvi, comps,
-        dimension_numbers=dims,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    dpr_ref[...] = vr * dmr + vi * dmi
-    dpi_ref[...] = vi * dmr - vr * dmi
-
-
 def _interpret():
     return jax.default_backend() == "cpu"
 
 
 def _fwd_call(coeffs2, pr, pi, comps3, dr, di, w):
     ngrps, nfreqs, nvecs = comps3.shape
-    tg = _pick_tile(ngrps, nfreqs, nvecs)
+    tg = _pick_tile(ngrps, nfreqs, nvecs, comps3.dtype.itemsize)
     grid = (ngrps // tg,)
     loss_parts, v = pl.pallas_call(
         _fwd_kernel,
@@ -201,37 +169,33 @@ def _fwd_call(coeffs2, pr, pi, comps3, dr, di, w):
     return jnp.sum(loss_parts), v
 
 
-def _bwd_call(v, pr, pi, comps3, dr, di, w, gbar):
-    ngrps, nfreqs, nvecs = comps3.shape
-    tg = _pick_tile(ngrps, nfreqs, nvecs)
-    grid = (ngrps // tg,)
-    gbar_arr = jnp.asarray(gbar, jnp.float32).reshape(1, 1)
-    dcoeffs, dpr, dpi = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tg, nfreqs, nvecs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, tg, nfreqs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((2, tg, nvecs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((2, ngrps, nvecs), jnp.float32),
-            jax.ShapeDtypeStruct((ngrps, nfreqs), jnp.float32),
-            jax.ShapeDtypeStruct((ngrps, nfreqs), jnp.float32),
-        ],
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(comps3, v, pr, pi, dr, di, w, gbar_arr)
+def _bwd_xla(v, pr, pi, comps3, dr, di, w, gbar):
+    """Backward pass as plain XLA ops.
+
+    Measured on v5e at bench shapes (G=2048, F=1536, V=128): a Pallas
+    backward kernel (broadcast-multiply + sublane-reduce for the
+    coefficient cotangent) ran at ~3.7 ms vs ~2.1 ms for XLA's own
+    transpose — the (TG, F)-shaped dv factors live lane-major and Mosaic
+    must relayout them sublane-major before the broadcast against the
+    (TG, F, V) comps tile. XLA schedules the same contraction as a matmul
+    transpose at near the comps-read bandwidth floor, so the hybrid
+    (Pallas forward + XLA backward) is the fastest verified combination."""
+    vr, vi = v[0], v[1]
+    mr = pr * vr + pi * vi
+    mi = -pi * vr + pr * vi
+    dmr = (-2.0 * gbar) * w * (dr - mr)
+    dmi = (-2.0 * gbar) * w * (di - mi)
+    dvr = pr * dmr - pi * dmi
+    dvi = pi * dmr + pr * dmi
+    cf = comps3 if comps3.dtype == jnp.float32 else comps3.astype(jnp.float32)
+    dv = jnp.stack([dvr, dvi], axis=0)  # (2, G, F)
+    dcoeffs = jnp.einsum(
+        "gfv,kgf->kgv", cf, dv,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dpr = vr * dmr + vi * dmi
+    dpi = vi * dmr - vr * dmi
     return dcoeffs, dpr, dpi
 
 
@@ -241,7 +205,7 @@ def fused_chunk_loss(coeffs2, pr, pi, comps3, dr, di, w):
 
     coeffs2: (2, ngrps, nvecs) stacked (real, imag) coefficients
     pr, pi:  (ngrps, nfreqs) Re / -Im of g_i conj(g_j) per baseline
-    comps3:  (ngrps, nfreqs, nvecs)
+    comps3:  (ngrps, nfreqs, nvecs) float32 or bfloat16
     dr, di, w: (ngrps, nfreqs)
     """
     loss, _ = _fwd_call(coeffs2, pr, pi, comps3, dr, di, w)
@@ -255,7 +219,7 @@ def _fused_fwd(coeffs2, pr, pi, comps3, dr, di, w):
 
 def _fused_bwd(res, gbar):
     v, pr, pi, comps3, dr, di, w = res
-    dcoeffs, dpr, dpi = _bwd_call(v, pr, pi, comps3, dr, di, w, gbar)
+    dcoeffs, dpr, dpi = _bwd_xla(v, pr, pi, comps3, dr, di, w, gbar)
     # comps/data/weights are never differentiated parameters; the zero
     # cotangents are DCE'd by XLA
     return (

@@ -47,7 +47,15 @@ def fg_model(coeffs_r, coeffs_i, comps, precision=jax.lax.Precision.HIGHEST):
     basis matrix (redundant arrays: one DPSS operator per unique baseline
     length). The contraction becomes one dense (2*ngrps, nvecs) x (nvecs,
     nfreqs) matmul — comps is read from HBM once for ALL of its baselines,
-    cutting the dominant traffic by the redundancy factor."""
+    cutting the dominant traffic by the redundancy factor.
+
+    bfloat16 comps: the step is bound by reading comps from HBM, so
+    storing comps in bf16 halves the dominant traffic (measured 1.7x
+    step-time win at bench shapes, docs/BF16_COMPS.md). The upcast to the
+    coefficient dtype below is fused by XLA into the matmul's operand read
+    — no f32 copy is materialized; accumulation stays f32."""
+    if comps.dtype != coeffs_r.dtype:
+        comps = comps.astype(coeffs_r.dtype)
     coeffs = jnp.stack([coeffs_r, coeffs_i], axis=0)  # (2, ngrps, nvecs)
     ngrps = coeffs.shape[1]
     nu = comps.shape[0]

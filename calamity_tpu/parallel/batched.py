@@ -221,13 +221,18 @@ class BatchedFitResult(NamedTuple):
     nsteps: Any  # scalar: global steps taken
     final_loss: Any  # (nbatch,)
     nsteps_slice: Any = None  # (nbatch,): per-slice steps until convergence
+    opt_state: Any = None  # final optimizer state (for two-phase descents)
 
 
 @partial(jax.jit, static_argnums=(0,))
 def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
-                     prior_r=None, prior_i=None):
+                     prior_r=None, prior_i=None, opt_state0=None):
     """Whole-batch descent in one jit (see solver.fit._fit_core for the
-    single-slice variant and the reference-parity notes)."""
+    single-slice variant and the reference-parity notes).
+
+    ``opt_state0`` carries an optimizer state into the descent — used by the
+    comps_precision="mixed" schedule so the f32 polish phase keeps the
+    Adam-family moments adapted during the bf16 phase (docs/BF16_COMPS.md)."""
     opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
     dtype = g_r.dtype
     nbatch = g_r.shape[0]
@@ -259,7 +264,8 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         return jnp.sum(losses), losses
 
     vg = jax.value_and_grad(total_loss, has_aux=True)
-    opt_state0 = opt.init(params0)
+    if opt_state0 is None:
+        opt_state0 = opt.init(params0)
 
     def one_step(params, opt_state):
         (_, losses), grads = vg(params)
@@ -323,7 +329,7 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         return (step + 1, new_params, new_opt_state, losses, frozen, nsteps_slice,
                 best_loss, best_params, history)
 
-    (step, params, _, last, frozen, nsteps_slice, best_loss, best_params,
+    (step, params, opt_state_f, last, frozen, nsteps_slice, best_loss, best_params,
      history) = jax.lax.while_loop(cond, body, state0)
     nsteps_slice = jnp.minimum(nsteps_slice, step)
     out_params = best_params if cfg.use_min else params
@@ -334,4 +340,4 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
     else:
         g_r_o, g_i_o, fg_r_o, fg_i_o = out_params
     return BatchedFitResult(g_r_o, g_i_o, fg_r_o, fg_i_o, history, step, final,
-                            nsteps_slice)
+                            nsteps_slice, opt_state_f)

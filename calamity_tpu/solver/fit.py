@@ -62,6 +62,16 @@ def _tree_where(pred, a, b):
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+def convert_chunks_dtype(chunks, dtype):
+    """Chunk triples with comps cast to ``dtype`` (antenna indices untouched).
+
+    Used by the ``comps_precision`` descent modes: the step is bound by
+    reading the basis tensors from HBM, so a bfloat16 copy of comps halves
+    the dominant traffic (see docs/BF16_COMPS.md). The cast is done once
+    here, outside the compiled fit."""
+    return tuple((comps.astype(dtype), a0, a1) for comps, a0, a1 in chunks)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
               prior_r_sum, prior_i_sum):
@@ -353,6 +363,7 @@ def fit_gains_and_foregrounds(
     resume=True,
     use_pallas=False,
     remat=False,
+    comps_precision="float32",
     **opt_kwargs,
 ):
     """Run the gradient-descent fit for one (time, pol) slice.
@@ -360,6 +371,18 @@ def fit_gains_and_foregrounds(
     Reference-compatible entry point (calibration.py:447-738). Inputs are
     chunk tuples as produced by FitSpec; returns
     (g_r, g_i, fg_r, fg_i, fit_history) with fit_history = {"loss": list}.
+
+    comps_precision: storage precision of the basis tensors DURING the
+    descent (all accumulation stays in the data dtype):
+      - "float32": use the chunks as packed (default).
+      - "bfloat16": descend against a bf16 copy of comps — ~1.7x faster
+        steps at scale, but the convergence floor is set by the bf16
+        quantization of the basis (relative residual ~4e-3; see
+        docs/BF16_COMPS.md).
+      - "mixed": descend bf16 until the tol stop triggers at the bf16
+        floor, then continue in float32 from the warm start until tol —
+        full f32 floor at a fraction of the f32 step count. Each phase is
+        bounded by ``maxsteps``.
     """
     if model_regularization == "sum":
         prior_r_sum = sum(jnp.sum(smr * w) for smr, w in zip(sky_model_r, wgts))
@@ -388,11 +411,33 @@ def fit_gains_and_foregrounds(
     data_i = tuple(data_i)
     wgts = tuple(wgts)
 
+    if comps_precision not in ("float32", "bfloat16", "mixed"):
+        raise ValueError(
+            f"comps_precision must be 'float32', 'bfloat16' or 'mixed', "
+            f"got {comps_precision!r}"
+        )
+    chunks_lo = None
+    if comps_precision in ("bfloat16", "mixed"):
+        chunks_lo = convert_chunks_dtype(chunks, jnp.bfloat16)
+
     echo(
         f"{datetime.datetime.now()} Building/reusing compiled fit "
-        f"({cfg.optimizer}, maxsteps={cfg.maxsteps})...",
+        f"({cfg.optimizer}, maxsteps={cfg.maxsteps}, "
+        f"comps_precision={comps_precision})...",
         verbose=verbose,
     )
+
+    def run(chs, gr0, gi0, fr0, fi0, ckdir):
+        if ckdir is not None:
+            return _fit_checkpointed(
+                cfg, chs, data_r, data_i, wgts, gr0, gi0, fr0, fi0,
+                prior_r_sum, prior_i_sum, ckdir, int(checkpoint_every),
+                resume, verbose,
+            )
+        return _fit_core(
+            cfg, chs, data_r, data_i, wgts, gr0, gi0, fr0, fi0,
+            prior_r_sum, prior_i_sum,
+        )
 
     if n_profile_steps > 0:
         # opt-in profiler trace around a short profiling run (reference
@@ -403,26 +448,113 @@ def fit_gains_and_foregrounds(
         jax.profiler.start_trace(profile_log_dir)
         prof_cfg = cfg._replace(maxsteps=int(n_profile_steps), tol=0.0)
         res = _fit_core(
-            prof_cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
+            prof_cfg, chunks_lo if comps_precision == "bfloat16" else chunks,
+            data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
             prior_r_sum, prior_i_sum,
         )
         jax.block_until_ready(res.final_loss)
         jax.profiler.stop_trace()
 
-    if checkpoint_dir is not None:
-        result = _fit_checkpointed(
-            cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
-            prior_r_sum, prior_i_sum, checkpoint_dir,
-            int(checkpoint_every), resume, verbose,
+    phase_steps = None
+    if comps_precision == "bfloat16":
+        result = run(chunks_lo, g_r, g_i, fg_r, fg_i, checkpoint_dir)
+        nsteps = int(result.nsteps)
+        history = np.asarray(result.loss_history[:nsteps], dtype=np.float64)
+    elif comps_precision == "mixed" and checkpoint_dir is not None:
+        import os
+
+        # checkpointed mixed: each phase is its own checkpointed descent
+        # (optimizer state resets at the phase boundary — the checkpoint
+        # files only carry one phase's state)
+        ck1 = os.path.join(checkpoint_dir, "phase_bf16")
+        ck2 = os.path.join(checkpoint_dir, "phase_f32")
+        skip1 = False
+        if resume:
+            # phase 2 already under way from a previous run: phase-1 output
+            # is baked into its checkpoints, don't redo the bf16 descent
+            from .checkpoint import latest_checkpoint
+
+            skip1 = latest_checkpoint(ck2) is not None
+        if skip1:
+            n1 = 0
+            hist1 = np.zeros((0,), dtype=np.float64)
+            gr1, gi1, fr1, fi1 = g_r, g_i, fg_r, fg_i
+        else:
+            res1 = run(chunks_lo, g_r, g_i, fg_r, fg_i, ck1)
+            n1 = int(res1.nsteps)
+            hist1 = np.asarray(res1.loss_history[:n1], dtype=np.float64)
+            gr1, gi1, fr1, fi1 = res1.g_r, res1.g_i, res1.fg_r, res1.fg_i
+            echo(
+                f"{datetime.datetime.now()} bf16 phase converged after {n1} "
+                f"steps; polishing in float32...",
+                verbose=verbose,
+            )
+        result = run(chunks, gr1, gi1, fr1, fi1, ck2)
+        n2 = int(result.nsteps)
+        nsteps = n1 + n2
+        history = np.concatenate(
+            [hist1, np.asarray(result.loss_history[:n2], dtype=np.float64)]
         )
+        phase_steps = [n1, n2]
+    elif comps_precision == "mixed":
+        # two-phase descent with CARRIED optimizer state: the f32 landscape
+        # differs from the bf16 one only at the quantization floor, so the
+        # adapted Adam-family moments remain well-scaled across the switch —
+        # measured to roughly halve the f32 polish step count vs a fresh
+        # optimizer (docs/BF16_COMPS.md)
+        opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
+        dtype = g_r.dtype
+        big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
+        params = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
+        opt_state = opt.init(params)
+        # warm-up step (parity with _fit_core / reference calibration.py:693)
+        params, opt_state, _, _, _, _, _, _ = _fit_segment(
+            cfg, 1, chunks_lo, data_r, data_i, wgts, fg_r, fg_i,
+            prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
+        )
+        params, opt_state, prev1, _, _, hist1, n1, _ = _fit_segment(
+            cfg, cfg.maxsteps, chunks_lo, data_r, data_i, wgts, fg_r, fg_i,
+            prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
+        )
+        n1 = int(n1)
+        echo(
+            f"{datetime.datetime.now()} bf16 phase converged after {n1} "
+            f"steps; polishing in float32...",
+            verbose=verbose,
+        )
+        params, opt_state, prev2, best_loss, best_params, hist2, n2, _ = (
+            _fit_segment(
+                cfg, cfg.maxsteps, chunks, data_r, data_i, wgts, fg_r, fg_i,
+                prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
+            )
+        )
+        n2 = int(n2)
+        out_params = best_params if cfg.use_min else params
+        final_loss = best_loss if cfg.use_min else prev2
+        if cfg.freeze_model:
+            g_r_o, g_i_o = out_params
+            fg_r_o, fg_i_o = fg_r, fg_i
+        else:
+            g_r_o, g_i_o, fg_r_o, fg_i_o = out_params
+        nsteps = n1 + n2
+        history = np.concatenate(
+            [
+                np.asarray(hist1[:n1], dtype=np.float64),
+                np.asarray(hist2[:n2], dtype=np.float64),
+            ]
+        )
+        result = FitResult(
+            g_r_o, g_i_o, fg_r_o, fg_i_o, jnp.asarray(history),
+            jnp.asarray(nsteps), final_loss,
+        )
+        phase_steps = [n1, n2]
     else:
-        result = _fit_core(
-            cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
-            prior_r_sum, prior_i_sum,
-        )
-    nsteps = int(result.nsteps)
-    history = np.asarray(result.loss_history[:nsteps], dtype=np.float64)
+        result = run(chunks, g_r, g_i, fg_r, fg_i, checkpoint_dir)
+        nsteps = int(result.nsteps)
+        history = np.asarray(result.loss_history[:nsteps], dtype=np.float64)
     fit_history = {"loss": history.tolist()}
+    if phase_steps is not None:
+        fit_history["phase_steps"] = phase_steps
     echo(
         f"{datetime.datetime.now()} Finished gradient descent: "
         f"{nsteps} steps, final loss {float(result.final_loss):.2e}",

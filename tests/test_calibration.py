@@ -356,6 +356,83 @@ def test_calibrate_and_model_dpss_warm_start(
     assert len(fit_history[0]) == 2
 
 
+@pytest.mark.parametrize("comps_precision", ["bfloat16", "mixed"])
+def test_calibrate_and_model_dpss_comps_precision(
+    sky_model_projected, gains, comps_precision
+):
+    """bf16 basis storage converges to the documented bf16 floor; the mixed
+    schedule recovers the float32 floor (docs/BF16_COMPS.md)."""
+    model, resid, fitted_gains, fit_history = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=sky_model_projected,
+        gains=gains,
+        maxsteps=3000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        comps_precision=comps_precision,
+    )
+    ratio = RMS(resid.data_array) / RMS(sky_model_projected.data_array)
+    if comps_precision == "bfloat16":
+        # floor set by bf16 quantization of the basis (~4e-3 relative)
+        assert ratio <= 1e-2
+    else:
+        assert ratio <= 1e-3
+        assert len(fit_history[0][0]["phase_steps"]) == 2
+        assert sum(fit_history[0][0]["phase_steps"]) == len(
+            fit_history[0][0]["loss"]
+        )
+
+
+def test_comps_precision_time_parallel(sky_model_projected_multitime, gains_multitime):
+    """Mixed-precision schedule through the batched (time_parallel) path."""
+    model, resid, fitted_gains, fit_history = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=sky_model_projected_multitime,
+        gains=gains_multitime,
+        maxsteps=3000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        comps_precision="mixed",
+    )
+    _assert_converged(sky_model_projected_multitime, model, resid)
+    assert len(fit_history[0]) == 2
+
+
+def test_comps_precision_scan_mixed_raises(
+    sky_model_projected_multitime, gains_multitime
+):
+    with pytest.raises(ValueError, match="mixed"):
+        calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3,
+            offset=2.0 / 0.3,
+            uvdata=sky_model_projected_multitime,
+            gains=gains_multitime,
+            maxsteps=10,
+            time_parallel=True,
+            init_guesses_from_previous_time_step=True,
+            comps_precision="mixed",
+        )
+
+
+def test_comps_precision_invalid_raises(sky_model_projected, gains):
+    with pytest.raises(ValueError, match="comps_precision"):
+        calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3,
+            offset=2.0 / 0.3,
+            uvdata=sky_model_projected,
+            gains=gains,
+            maxsteps=10,
+            comps_precision="float16",
+        )
+
+
 @pytest.mark.parametrize("flagtime", [0, 1])
 def test_calibrate_and_model_dpss_flagged(
     sky_model_projected_multitime, gains_multitime, flagtime
