@@ -66,8 +66,13 @@ def _device_inputs(ngrps, nbls, nfreqs, nvecs, nants, dtype):
     return out
 
 
-def bench_ours(inputs, nsteps, lr=1e-2):
-    """Production step: fused-layout loss, whole fori_loop jit-compiled."""
+def bench_ours(inputs, nsteps, lr=1e-2, use_pallas=False, comps_dtype=None):
+    """Production step: fused-layout loss, whole fori_loop jit-compiled.
+
+    ``use_pallas`` routes the forward through the hybrid Pallas kernel
+    (ops/fused.py); ``comps_dtype=bfloat16`` benches the bf16 basis-storage
+    mode (docs/BF16_COMPS.md) — the step the comps_precision="mixed"
+    production schedule spends most of its time in."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -75,6 +80,8 @@ def bench_ours(inputs, nsteps, lr=1e-2):
     from calamity_tpu.ops.loss import chunked_loss
 
     comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = inputs
+    if comps_dtype is not None:
+        comps = comps.astype(comps_dtype)
     opt = optax.adamax(lr)
 
     # NOTE: all large arrays are explicit jit arguments — captured device
@@ -87,7 +94,8 @@ def bench_ours(inputs, nsteps, lr=1e-2):
         def loss_fn(params):
             gr, gi, fr, fi = params
             return chunked_loss(
-                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,)
+                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,),
+                use_pallas=use_pallas,
             )
 
         vg = jax.value_and_grad(loss_fn)
@@ -99,26 +107,34 @@ def bench_ours(inputs, nsteps, lr=1e-2):
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.lax.fori_loop(0, n, body, (params, opt_state, jnp.zeros((), comps.dtype)))
+        return jax.lax.fori_loop(0, n, body, (params, opt_state, jnp.zeros((), data_r.dtype)))
 
     params = (g_r, g_i, fg_r, fg_i)
     opt_state = opt.init(params)
     big = (comps, a0, a1, data_r, data_i, wgts)
     n_small = max(2, nsteps // 10)
 
-    def timed(n):
-        # end the timed region with a device->host scalar fetch: through
-        # remote-relay backends block_until_ready can report early, but a
-        # data fetch cannot
+    def timed(n, s):
+        # every timed call gets DISTINCT parameter values: relay-attached
+        # backends cache whole executions keyed on (executable, operands),
+        # so re-running identical arguments can return without computing.
+        # End the timed region with a device->host scalar fetch: through
+        # such relays block_until_ready can report early, but a data fetch
+        # cannot.
+        p = jax.tree_util.tree_map(
+            lambda x: x * (jnp.ones((), x.dtype) + jnp.asarray(1e-6 * s, x.dtype)),
+            params,
+        )
+        jax.block_until_ready(p)
         t0 = time.perf_counter()
-        out = run(params, opt_state, *big, n=n)
+        out = run(p, opt_state, *big, n=n)
         loss = float(out[2])
         return time.perf_counter() - t0, loss
 
-    timed(n_small)  # compile at n_small
-    timed(nsteps)  # compile at nsteps
-    t_small, _ = timed(n_small)
-    t_big, loss = timed(nsteps)
+    timed(n_small, 0)  # compile at n_small
+    timed(nsteps, 1)  # compile at nsteps
+    t_small, _ = timed(n_small, 2)
+    t_big, loss = timed(nsteps, 3)
     # difference cancels the constant dispatch + fetch overhead
     return (t_big - t_small) / (nsteps - n_small) * 1e3, loss
 
@@ -192,13 +208,21 @@ def main():
 
     print(f"# bench: building inputs ({cfg})", file=sys.stderr, flush=True)
     inputs = _device_inputs(dtype=jax.numpy.float32, **cfg)
-    print("# bench: timing production step", file=sys.stderr, flush=True)
-    ours_ms, ours_loss = bench_ours(inputs, nsteps)
-    print(f"# bench: ours {ours_ms:.3f} ms/step; timing reference pattern",
+    print("# bench: timing f32 step (round-over-round continuity)",
+          file=sys.stderr, flush=True)
+    f32_ms, f32_loss = bench_ours(inputs, nsteps)
+    print(f"# bench: f32 {f32_ms:.3f} ms/step; timing production fast step "
+          "(bf16 comps, the mixed-schedule bulk phase)",
+          file=sys.stderr, flush=True)
+    # pure XLA, not the Pallas kernel: the fused forward wins in isolation
+    # but the full fwd+bwd step measured at parity-or-behind XLA (f32
+    # 5.25 vs 5.16 ms, bf16 3.48 vs 3.12 ms on v5e; see docs/BF16_COMPS.md)
+    ours_ms, ours_loss = bench_ours(inputs, nsteps, comps_dtype=jax.numpy.bfloat16)
+    print(f"# bench: fast {ours_ms:.3f} ms/step; timing reference pattern",
           file=sys.stderr, flush=True)
     ref_ms, ref_loss = bench_reference_pattern(inputs, min(nsteps, 30))
     print(f"# bench: ref {ref_ms:.3f} ms/step", file=sys.stderr, flush=True)
-    assert np.isfinite(ours_loss) and np.isfinite(ref_loss)
+    assert np.isfinite(ours_loss) and np.isfinite(ref_loss) and np.isfinite(f32_loss)
     print(
         json.dumps(
             {

@@ -27,10 +27,13 @@ hardware measurements at bench shapes (G=2048, F=1536, V=128, v5e):
 Context for the design: XLA alone compiles this loss+grad to within ~7% of
 the MEASURED achievable HBM bandwidth (666 GB/s f32 read, 592 GB/s bf16 —
 81%/72% of v5e's 819 nominal): 5.16 ms/step f32 vs a 4.8 ms floor, 3.12
-ms/step bf16 vs ~2.9. The hybrid buys the remaining few percent on the
-forward. The bigger lever is bfloat16 comps storage, which halves the
-dominant traffic (docs/BF16_COMPS.md): ``comps`` may be float32 or
-bfloat16 (upcast in-kernel; all accumulation f32).
+ms/step bf16 vs ~2.9. The hybrid's forward win does NOT survive
+composition into the full descent step (measured 5.25 ms f32 / 3.48 bf16
+vs XLA's 5.16 / 3.12 — the custom_vjp boundary blocks XLA's cross-pass
+scheduling), so the production default stays pure XLA and the kernel is
+opt-in (``use_pallas=True``). The bigger lever is bfloat16 comps storage,
+which halves the dominant traffic (docs/BF16_COMPS.md): ``comps`` may be
+float32 or bfloat16 (upcast in-kernel; all accumulation f32).
 
 The gain gather g[a0], g[a1] -> (pr, pi) is pre-computed outside the kernel
 (gains are (Nants, Nfreqs), tiny and replicated; XLA handles the gather and
@@ -100,19 +103,17 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
     """One group-tile: loss partial + foreground visibilities.
 
     comps_ref: (TG, F, V) f32 or bf16; coeffs_ref: (2, TG, V); pr/pi/dr/di/w:
-    (TG, F); loss_ref: (8, 128) shared accumulator; v_ref: (2, TG, F)
+    (TG, F); loss_ref: (1, 8, 128) per-tile partial block; v_ref: (2, TG, F)
 
     The basis matvec is a broadcast multiply + lane reduction on the VPU
     (see module docstring); the whole tile is vectorized — no per-group
     unroll, so the Mosaic program stays O(1) ops regardless of tile size.
-    The TPU grid executes sequentially, so every program accumulates its
-    partial chi-square into the same lane-aligned accumulator block.
+    Each program writes its chi-square partial into its OWN output block
+    (summed by the caller) rather than accumulating across programs — an
+    accumulator guarded by program_id would silently break under vmap,
+    which prepends a batch grid dimension (the batched time-parallel path
+    vmaps this call).
     """
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        loss_ref[...] = jnp.zeros_like(loss_ref)
-
     comps = comps_ref[...].astype(jnp.float32)  # (TG, F, V)
     cr = coeffs_ref[0]  # (TG, V)
     ci = coeffs_ref[1]
@@ -130,8 +131,7 @@ def _fwd_kernel(comps_ref, coeffs_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
     # place the scalar at [0, 0] without a scatter (unsupported in Mosaic)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    pad = jnp.where((row == 0) & (col == 0), acc, jnp.float32(0))
-    loss_ref[...] = loss_ref[...] + pad
+    loss_ref[0] = jnp.where((row == 0) & (col == 0), acc, jnp.float32(0))
 
 
 def _interpret():
@@ -155,12 +155,12 @@ def _fwd_call(coeffs2, pr, pi, comps3, dr, di, w):
             pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            # single shared accumulator block (sequential TPU grid)
-            pl.BlockSpec((8, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            # one partial-loss block per program (vmap-safe; see kernel doc)
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, tg, nfreqs), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ngrps // tg, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((2, ngrps, nfreqs), jnp.float32),
         ],
         interpret=_interpret(),

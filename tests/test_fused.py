@@ -71,6 +71,76 @@ def test_fused_grads_match_xla(chunk_inputs):
         assert np.allclose(a, b, atol=3e-5 * scale), f"grad mismatch for {name}"
 
 
+def test_fused_bf16_comps(chunk_inputs):
+    """bf16 comps storage: fused loss/grads match the XLA bf16 path."""
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
+    comps_bf = comps.astype(jnp.bfloat16)
+    assert fused_loss_applicable(comps_bf)
+    chunks = ((comps_bf, a0, a1),)
+
+    def make_loss(use_pallas):
+        def f(params):
+            gr, gi, fr, fi = params
+            return loss_ops.chunked_loss(
+                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,),
+                use_pallas=use_pallas,
+            )
+        return f
+
+    params = (g_r, g_i, fg_r, fg_i)
+    lx = make_loss(False)(params)
+    lp = make_loss(True)(params)
+    assert np.isclose(float(lx), float(lp), rtol=1e-5)
+    gx = jax.grad(make_loss(False))(params)
+    gp = jax.grad(make_loss(True))(params)
+    for a, b in zip(gx, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.allclose(a, b, atol=3e-5 * (np.abs(a).max() + 1e-12))
+
+
+def test_fused_under_vmap(chunk_inputs):
+    """vmap over the fused call (the batched time-parallel usage): the
+    per-tile partial-loss layout must stay correct when vmap prepends a
+    batch grid dimension."""
+    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
+    nb = 3
+    rng = np.random.default_rng(7)
+
+    def tile(x):
+        reps = (nb,) + (1,) * x.ndim
+        out = jnp.tile(x[None], reps)
+        return out + jnp.asarray(
+            0.01 * rng.standard_normal(out.shape), dtype=x.dtype
+        )
+
+    g_r_b, g_i_b, fg_r_b, fg_i_b = tile(g_r), tile(g_i), tile(fg_r), tile(fg_i)
+    d_r_b, d_i_b, w_b = tile(data_r), tile(data_i), jnp.abs(tile(wgts))
+    chunks = ((comps, a0, a1),)
+
+    def one(gr, gi, fr, fi, dr, di, w, use_pallas):
+        return loss_ops.chunked_loss(
+            gr, gi, (fr,), (fi,), chunks, (dr,), (di,), (w,),
+            use_pallas=use_pallas,
+        )
+
+    lx = jax.vmap(lambda *a: one(*a, False))(
+        g_r_b, g_i_b, fg_r_b, fg_i_b, d_r_b, d_i_b, w_b
+    )
+    lp = jax.vmap(lambda *a: one(*a, True))(
+        g_r_b, g_i_b, fg_r_b, fg_i_b, d_r_b, d_i_b, w_b
+    )
+    assert np.allclose(np.asarray(lx), np.asarray(lp), rtol=1e-5)
+    # gradients through the vmapped batch sum
+    gx = jax.grad(lambda c: jnp.sum(jax.vmap(
+        lambda fr: one(g_r, g_i, fr, fg_i, data_r, data_i, wgts, False)
+    )(c)))(fg_r_b)
+    gp = jax.grad(lambda c: jnp.sum(jax.vmap(
+        lambda fr: one(g_r, g_i, fr, fg_i, data_r, data_i, wgts, True)
+    )(c)))(fg_r_b)
+    a, b = np.asarray(gx), np.asarray(gp)
+    assert np.allclose(a, b, atol=3e-5 * (np.abs(a).max() + 1e-12))
+
+
 def test_fused_inside_jit_and_fit_step(chunk_inputs):
     """Fused path composes with jit + optax update (the production usage)."""
     import optax

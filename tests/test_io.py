@@ -166,6 +166,139 @@ def test_flagweights(golomb_visdata):
     assert len(inds) == 1
 
 
+def test_uvflag_h5_roundtrip(tmp_path, golomb_visdata):
+    """FlagWeights -> UVFlag-HDF5 file -> FlagWeights preserves everything."""
+    rng = np.random.default_rng(5)
+    uvf = FlagWeights(golomb_visdata, mode="flag")
+    uvf.weights_array[:] = np.abs(rng.standard_normal(uvf.weights_array.shape))
+    uvf.flag_array[0, 0, :3, 0] = True
+    uvf.history = "test weights"
+    path = str(tmp_path / "weights.h5")
+    uvf.to_uvflag_h5(path)
+    back = FlagWeights.from_uvflag_h5(path)
+    np.testing.assert_array_equal(back.ant_1_array, uvf.ant_1_array)
+    np.testing.assert_array_equal(back.ant_2_array, uvf.ant_2_array)
+    np.testing.assert_allclose(back.time_array, uvf.time_array)
+    np.testing.assert_allclose(
+        back.freq_array.reshape(-1), np.asarray(uvf.freq_array).reshape(-1)
+    )
+    np.testing.assert_array_equal(back.polarization_array, uvf.polarization_array)
+    np.testing.assert_array_equal(back.flag_array, uvf.flag_array)
+    np.testing.assert_allclose(back.weights_array, uvf.weights_array)
+    assert back.mode == "flag"
+    assert back.history == "test weights"
+    with pytest.raises(IOError, match="clobber"):
+        uvf.to_uvflag_h5(path)
+
+
+def test_uvflag_h5_spec_conformance(tmp_path, golomb_visdata):
+    """The written file carries pyuvdata's UVFlag header/data fields."""
+    import h5py
+
+    uvf = FlagWeights(golomb_visdata, mode="flag")
+    uvf.weights_array[:] = 1.0
+    path = str(tmp_path / "weights.h5")
+    uvf.to_uvflag_h5(path)
+    with h5py.File(path, "r") as f:
+        hdr = f["Header"]
+        assert hdr["type"][()] == b"baseline"
+        assert hdr["mode"][()] == b"flag"
+        for key in ("Nblts", "Nbls", "Ntimes", "Nfreqs", "Npols", "Nspws",
+                    "Nants_data", "Nants_telescope", "ant_1_array",
+                    "ant_2_array", "baseline_array", "time_array", "lst_array",
+                    "freq_array", "polarization_array", "history", "label"):
+            assert key in hdr, f"missing header field {key}"
+        nblts = int(hdr["Nblts"][()])
+        assert hdr["time_array"].shape == (nblts,)
+        # pyuvdata packed baseline numbers
+        np.testing.assert_array_equal(
+            np.asarray(hdr["baseline_array"]),
+            np.asarray(hdr["ant_1_array"]) * 2048
+            + np.asarray(hdr["ant_2_array"]) + 2**16,
+        )
+        data = f["Data"]
+        nfreqs = int(hdr["Nfreqs"][()])
+        npols = int(hdr["Npols"][()])
+        # current spw-less layout
+        assert data["flag_array"].shape == (nblts, nfreqs, npols)
+        assert data["weights_array"].shape == (nblts, nfreqs, npols)
+        assert data["flag_array"].dtype == bool
+
+
+def test_uvflag_h5_legacy_layout(tmp_path, golomb_visdata):
+    """Files with the legacy spw axis and (Nspws, Nfreqs) freq_array load."""
+    import h5py
+
+    uvf = FlagWeights(golomb_visdata, mode="flag")
+    uvf.weights_array[:] = 2.0
+    path = str(tmp_path / "legacy.h5")
+    with h5py.File(path, "w") as f:
+        hdr = f.create_group("Header")
+        hdr["type"] = np.bytes_("baseline")
+        hdr["mode"] = np.bytes_("flag")
+        hdr["ant_1_array"] = uvf.ant_1_array
+        hdr["ant_2_array"] = uvf.ant_2_array
+        hdr["time_array"] = uvf.time_array
+        hdr["freq_array"] = np.asarray(uvf.freq_array, np.float64).reshape(1, -1)
+        hdr["polarization_array"] = uvf.polarization_array
+        data = f.create_group("Data")
+        data["flag_array"] = uvf.flag_array  # 4D legacy layout
+        data["weights_array"] = uvf.weights_array
+    back = FlagWeights.from_uvflag_h5(path)
+    assert back.flag_array.shape == uvf.flag_array.shape
+    np.testing.assert_allclose(back.weights_array, uvf.weights_array)
+    assert back.freq_array.ndim == 1
+    assert back.x_orientation == "east"  # defaulted
+
+
+def test_uvflag_h5_rejects_unsupported(tmp_path, golomb_visdata):
+    import h5py
+
+    uvf = FlagWeights(golomb_visdata, mode="flag")
+    path = str(tmp_path / "metric.h5")
+    uvf.to_uvflag_h5(path)
+    with h5py.File(path, "r+") as f:
+        del f["Header"]["mode"]
+        f["Header"]["mode"] = np.bytes_("metric")
+    with pytest.raises(NotImplementedError, match="metric"):
+        FlagWeights.from_uvflag_h5(path)
+    with h5py.File(path, "r+") as f:
+        del f["Header"]["mode"]
+        f["Header"]["mode"] = np.bytes_("flag")
+        del f["Header"]["type"]
+        f["Header"]["type"] = np.bytes_("waterfall")
+    with pytest.raises(NotImplementedError, match="waterfall"):
+        FlagWeights.from_uvflag_h5(path)
+
+
+def test_uvflag_h5_weights_through_fit(tmp_path, golomb_visdata):
+    """Weights loaded from a UVFlag file drive the weighted packing exactly
+    like the in-memory object they round-tripped from."""
+    from calamity_tpu import models
+    from calamity_tpu.cal_utils import blank_uvcal_from_uvdata
+    from calamity_tpu.solver.tensorize import FitSpec
+
+    rng = np.random.default_rng(9)
+    uvf = FlagWeights(golomb_visdata, mode="flag")
+    uvf.weights_array[:] = np.abs(rng.standard_normal(uvf.weights_array.shape))
+    path = str(tmp_path / "w.h5")
+    uvf.to_uvflag_h5(path)
+    loaded = FlagWeights.from_uvflag_h5(path)
+
+    comps = models.yield_pbl_dpss_model_comps(
+        golomb_visdata, offset=2.0 / 0.3, min_dly=2.0 / 0.3
+    )
+    gains = blank_uvcal_from_uvdata(golomb_visdata)
+    ants_map = {int(a): i for i, a in enumerate(gains.ant_array)}
+    spec = FitSpec(golomb_visdata, comps, ants_map)
+    pol = golomb_visdata.get_pols()[0]
+    time = spec.times[0]
+    _, _, w_mem = spec.pack_data(golomb_visdata, pol, time, weights=uvf)
+    _, _, w_file = spec.pack_data(golomb_visdata, pol, time, weights=loaded)
+    for a, b in zip(w_mem, w_file):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_noise_with_flags_fixture(noise_with_flags):
     assert noise_with_flags.flag_array.any()
     assert not noise_with_flags.flag_array.all()
