@@ -55,9 +55,29 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
     total = 0.0
     for cnum, (comps, a0, a1) in enumerate(chunks):
         if use_pallas:
-            from ..ops.fused import fused_chunk_loss, fused_loss_applicable
+            from ..ops.fused import (
+                fused_chunk_loss,
+                fused_loss_applicable,
+                onepass_applicable,
+                onepass_chunk_loss,
+            )
             from ..ops.loss import gain_products
 
+            if onepass_applicable(comps) and comps.shape[0] == data_r[cnum].shape[1]:
+
+                def onepass_slice(gr, gi, fr, fi, dr, di, w):
+                    pr, pi = gain_products(gr, gi, a0, a1)
+                    coeffs2 = jnp.stack([fr, fi], axis=0)
+                    return onepass_chunk_loss(
+                        coeffs2, pr[:, 0], pi[:, 0], comps[:, 0],
+                        dr[:, 0], di[:, 0], w[:, 0],
+                    )
+
+                total = total + jax.vmap(onepass_slice)(
+                    g_r, g_i, fg_r[cnum], fg_i[cnum],
+                    data_r[cnum], data_i[cnum], wgts[cnum],
+                )
+                continue
             if fused_loss_applicable(comps) and comps.shape[0] == data_r[cnum].shape[1]:
 
                 def fused_slice(gr, gi, fr, fi, dr, di, w):
@@ -275,7 +295,11 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
 
     _, params, opt_state = one_step(params0, opt_state0)
 
-    history0 = jnp.full((cfg.maxsteps, nbatch), jnp.nan, dtype=dtype)
+    # the (maxsteps, nbatch) history is the one buffer that scales with BOTH
+    # the step budget and the batch; store it in float32 regardless of the
+    # fit dtype — loss curves don't need f64, and this halves the largest
+    # long-lived HBM allocation of multi-hundred-poltime descents
+    history0 = jnp.full((cfg.maxsteps, nbatch), jnp.nan, dtype=jnp.float32)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     prev0 = jnp.full((nbatch,), big, dtype=dtype)
     best0 = jnp.full((nbatch,), big, dtype=dtype)
@@ -309,7 +333,7 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         new_opt_state = jax.tree_util.tree_map(keep_frozen, new_opt_state, opt_state)
         # frozen slices re-evaluate to their converged loss; don't re-record
         history = history.at[step].set(
-            jnp.where(frozen, history[step], losses.astype(dtype))
+            jnp.where(frozen, history[step], losses.astype(jnp.float32))
         )
         delta = jnp.where(step >= 1, jnp.abs(losses - prev), big)
         newly = (~frozen) & (
