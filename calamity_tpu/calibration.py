@@ -1164,6 +1164,7 @@ def read_calibrate_and_model_dpss(
     gpu_memory_limit=None,
     precision=32,
     use_autocorrs_in_weights=False,
+    weights_file=None,
     **calibration_kwargs,
 ):
     """File-level driver (reference calibration.py:1659-1817).
@@ -1173,6 +1174,13 @@ def read_calibrate_and_model_dpss(
     accepted for CLI parity; device placement on TPU is handled by jax
     (single-process single-device by default; multi-device via the
     calamity_tpu.parallel mesh API).
+
+    ``weights_file``: path to a UVFlag HDF5 weights object (baseline type,
+    flag mode — e.g. written by pyuvdata's UVFlag.write or
+    FlagWeights.to_uvflag_h5) used as fitting weights; mutually exclusive
+    with ``use_autocorrs_in_weights``. The reference accepts such objects
+    only through the in-memory API (calibration.py:225-226); the file hook
+    makes them reachable from the shell.
     """
     # fail fast on taken output paths before any compute happens
     import os
@@ -1191,8 +1199,16 @@ def read_calibrate_and_model_dpss(
     else:
         uvd = input_data_files
 
+    if use_autocorrs_in_weights and weights_file is not None:
+        raise ValueError(
+            "use_autocorrs_in_weights and weights_file are mutually exclusive"
+        )
     if use_autocorrs_in_weights:
         weights = get_auto_weights(uvd)
+    elif weights_file is not None:
+        from .io.flags import FlagWeights
+
+        weights = FlagWeights.from_uvflag_h5(weights_file)
     else:
         weights = None
     utils.select_baselines(
@@ -1305,6 +1321,10 @@ def input_output_parser():
                     help="Accepted for parity; memory is managed by XLA.")
     sp.add_argument("--precision", default=32, type=int,
                     help="Bits of floating-point precision (32 or 64).")
+    sp.add_argument("--weights_file", default=None, type=str,
+                    help="Path to a UVFlag HDF5 weights object (baseline "
+                         "type, flag mode) to use as fitting weights; "
+                         "mutually exclusive with --use_autocorrs_in_weights.")
     return ap
 
 

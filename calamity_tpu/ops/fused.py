@@ -236,181 +236,24 @@ def _fused_bwd(res, gbar):
 fused_chunk_loss.defvjp(_fused_fwd, _fused_bwd)
 
 
-# --------------------------------------------------------------------- #
-# single-pass step kernel (bf16 comps): loss AND gradients in ONE comps
-# read per descent step
-# --------------------------------------------------------------------- #
+# A single-pass step kernel (loss AND gradients in one comps read, halving
+# the HBM floor to ~1.35 ms at bench shapes for bf16) was built and
+# hardware-tested in two tilings and REMOVED after both lost to XLA:
 #
-# The chi-square is a sum of per-group terms and the whole computation is
-# local to a group: v[g] -> model[g] -> error[g] -> (dcoeffs[g], dp[g]).
-# The cotangent of the scalar loss is just a number, so the gradient can be
-# produced in the SAME kernel pass as the forward — the comps tile already
-# resident in VMEM feeds both the basis matvec and its transpose. HBM
-# traffic per step drops from 2x comps bytes (fwd + autodiff bwd, the best
-# any two-pass scheme can do) to 1x.
+# - The math works: the chi-square is local per group and its cotangent is
+#   a scalar, so per tile the kernel can compute v -> error -> dcoeffs/dp
+#   with the comps tile already in VMEM, and custom_vjp can return the
+#   precomputed gradients scaled by the loss cotangent.
+# - TG=8 groups/program with block-diagonal MXU matmuls: the one-hot
+#   extraction arrays have 2*TG=16 lanes, and the 16/128 vreg padding made
+#   the elementwise extraction ~8x oversized — 11.2 ms/step vs XLA's 3.12.
+# - TG=1 group/program with clean (2,V)x(V,F) matmuls and no masks:
+#   Mosaic's per-program grid overhead measured ~4 us, and 2048 programs
+#   cost 9.3 ms/step.
+# - Wider tiles (TG=64, 2*TG=128 full lanes) shrink the padding but the
+#   extraction work grows as G*F*2*TG — back to ~XLA parity before overhead.
 #
-# The contractions ride the MXU as PLAIN 2D matmuls via a block-diagonal
-# layout (Mosaic cannot lower batched dots, and an N=2 matvec would waste
-# the 128-wide systolic array):
-#
-#   forward:  (TG*F, V) comps2d @ (V, 2*TG) per-tile coeff columns
-#             -> (TG*F, 2*TG); group g's visibilities live in columns
-#             (g, TG+g) of its own row block — extracted with one-hot
-#             lane masks.
-#   transpose: comps2d^T @ block-diagonal dv (TG*F, 2*TG) -> (V, 2*TG)
-#             coefficient cotangents.
-#
-# Both matmuls are bf16 x bf16 with f32 accumulation — exact single-pass
-# MXU work. Casting the coefficients / dv factors to bf16 adds relative
-# error ~4e-3, the same scale as the bf16 comps quantization this mode has
-# already accepted (docs/BF16_COMPS.md); the float32 production path is
-# untouched (it routes through XLA, which is within 7% of its HBM floor).
-
-
-def onepass_applicable(comps):
-    """Whether the single-pass step kernel supports this chunk."""
-    if jax.default_backend() not in ("tpu", "cpu"):  # cpu -> interpret mode
-        return False
-    ngrps, nbls, nfreqs, nvecs = comps.shape
-    return (
-        nbls == 1
-        and comps.dtype == jnp.bfloat16
-        and nfreqs % 128 == 0
-        and nvecs % 128 == 0
-        and ngrps % _ONEPASS_TG == 0
-    )
-
-
-_ONEPASS_TG = 8  # group tile; 2*TG = 16 output columns per matmul
-
-
-def _step_kernel(comps_ref, coeffsT_ref, pr_ref, pi_ref, dr_ref, di_ref, w_ref,
-                 loss_ref, dcT_ref, dpr_ref, dpi_ref):
-    """One group-tile: loss partial + every gradient, one comps read.
-
-    comps_ref: (TG, F, V) bf16; coeffsT_ref: (V, 2*TG) bf16 — tile-major
-    columns [r_0..r_{TG-1}, i_0..i_{TG-1}]; pr/pi/dr/di/w: (TG, F) f32.
-    Outputs: loss_ref (1, 8, 128) partial; dcT_ref (1, V, 2*TG) coefficient
-    cotangents (same column layout, scaled by the caller's loss cotangent
-    outside); dpr/dpi (TG, F) gain-product cotangents.
-    """
-    tg, nfreqs, nvecs = comps_ref.shape
-    comps2d = comps_ref[...].reshape(tg * nfreqs, nvecs)  # bf16
-    out = jax.lax.dot_general(
-        comps2d, coeffsT_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TG*F, 2*TG) f32
-    out3 = out.reshape(tg, nfreqs, 2 * tg)
-    t_ix = jax.lax.broadcasted_iota(jnp.int32, (tg, 1, 2 * tg), 0)
-    j_ix = jax.lax.broadcasted_iota(jnp.int32, (tg, 1, 2 * tg), 2)
-    zero = jnp.zeros((), jnp.float32)
-    vr = jnp.sum(jnp.where(j_ix == t_ix, out3, zero), axis=-1)  # (TG, F)
-    vi = jnp.sum(jnp.where(j_ix == t_ix + tg, out3, zero), axis=-1)
-    pr = pr_ref[...]
-    pi = pi_ref[...]
-    w = w_ref[...]
-    mr = pr * vr + pi * vi
-    mi = -pi * vr + pr * vi
-    er = dr_ref[...] - mr
-    ei = di_ref[...] - mi
-    acc = jnp.sum(w * (er * er + ei * ei))
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    loss_ref[0] = jnp.where((row == 0) & (col == 0), acc, jnp.float32(0))
-    # gradients of the UNIT-cotangent loss (caller scales by gbar)
-    dmr = -2.0 * w * er
-    dmi = -2.0 * w * ei
-    dvr = pr * dmr - pi * dmi
-    dvi = pi * dmr + pr * dmi
-    dpr_ref[...] = vr * dmr + vi * dmi
-    dpi_ref[...] = vi * dmr - vr * dmi
-    # block-diagonal dv, same column layout as coeffsT
-    bd = jnp.where(j_ix == t_ix, dvr[:, :, None], zero) + jnp.where(
-        j_ix == t_ix + tg, dvi[:, :, None], zero
-    )  # (TG, F, 2*TG)
-    bd2 = bd.reshape(tg * nfreqs, 2 * tg).astype(comps2d.dtype)
-    dcT_ref[0] = jax.lax.dot_general(
-        comps2d, bd2,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (V, 2*TG)
-
-
-def _step_call(coeffs2, pr, pi, comps3, dr, di, w):
-    """Run the single-pass kernel over a (ngrps, nfreqs, nvecs) bf16 chunk.
-
-    Returns (loss, dcoeffs (2, ngrps, nvecs), dpr, dpi)."""
-    ngrps, nfreqs, nvecs = comps3.shape
-    tg = _ONEPASS_TG
-    ntiles = ngrps // tg
-    # tile-major coefficient columns: (V, ntiles * 2TG) with tile i's block
-    # [r_{i*TG}..r_{i*TG+TG-1}, i_{i*TG}..]
-    coeffsT = (
-        coeffs2.reshape(2, ntiles, tg, nvecs)
-        .transpose(3, 1, 0, 2)
-        .reshape(nvecs, ntiles * 2 * tg)
-        .astype(comps3.dtype)
-    )
-    loss_parts, dcT, dpr, dpi = pl.pallas_call(
-        _step_kernel,
-        grid=(ntiles,),
-        in_specs=[
-            pl.BlockSpec((tg, nfreqs, nvecs), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nvecs, 2 * tg), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nvecs, 2 * tg), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, nfreqs), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((ntiles, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles, nvecs, 2 * tg), jnp.float32),
-            jax.ShapeDtypeStruct((ngrps, nfreqs), jnp.float32),
-            jax.ShapeDtypeStruct((ngrps, nfreqs), jnp.float32),
-        ],
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(comps3, coeffsT, pr, pi, dr, di, w)
-    # (ntiles, V, 2TG) -> (2, ngrps, V)
-    dcoeffs = dcT.reshape(ntiles, nvecs, 2, tg).transpose(2, 0, 3, 1).reshape(
-        2, ngrps, nvecs
-    )
-    return jnp.sum(loss_parts), dcoeffs, dpr, dpi
-
-
-@jax.custom_vjp
-def onepass_chunk_loss(coeffs2, pr, pi, comps3, dr, di, w):
-    """Single-pass fused chi-square of one bf16 B=1 chunk (see above)."""
-    loss, _, _, _ = _step_call(coeffs2, pr, pi, comps3, dr, di, w)
-    return loss
-
-
-def _onepass_fwd(coeffs2, pr, pi, comps3, dr, di, w):
-    loss, dcoeffs, dpr, dpi = _step_call(coeffs2, pr, pi, comps3, dr, di, w)
-    # the gradients themselves are the residuals; the backward pass is a
-    # scalar scale — gradient is linear in the loss cotangent
-    return loss, (dcoeffs, dpr, dpi, comps3, dr, di, w)
-
-
-def _onepass_bwd(res, gbar):
-    dcoeffs, dpr, dpi, comps3, dr, di, w = res
-    return (
-        gbar * dcoeffs,
-        gbar * dpr,
-        gbar * dpi,
-        jnp.zeros_like(comps3),
-        jnp.zeros_like(dr),
-        jnp.zeros_like(di),
-        jnp.zeros_like(w),
-    )
-
-
-onepass_chunk_loss.defvjp(_onepass_fwd, _onepass_bwd)
+# Conclusion recorded in docs/BF16_COMPS.md: on this Mosaic/jax stack the
+# achievable kernel floor is bounded by VPU contraction cost or grid
+# overhead, not HBM, and XLA's two-pass 3.12 ms (1.15x of ITS floor)
+# stands as the production bf16 path.

@@ -143,28 +143,8 @@ def chunked_loss(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, use_pallas=
     term = _chunk_term_remat if remat else _chunk_term
     for cnum, (comps, a0, a1) in enumerate(chunks):
         if use_pallas:
-            from .fused import (
-                fused_chunk_loss,
-                fused_loss_applicable,
-                onepass_applicable,
-                onepass_chunk_loss,
-            )
+            from .fused import fused_chunk_loss, fused_loss_applicable
 
-            if onepass_applicable(comps) and comps.shape[0] == data_r[cnum].shape[0]:
-                # bf16 chunks: single-pass kernel — loss AND gradients in
-                # one comps read per step (half the two-pass HBM floor)
-                pr, pi = gain_products(g_r, g_i, a0, a1)
-                coeffs2 = jnp.stack([fg_r[cnum], fg_i[cnum]], axis=0)
-                total = total + onepass_chunk_loss(
-                    coeffs2,
-                    pr[:, 0],
-                    pi[:, 0],
-                    comps[:, 0],
-                    data_r[cnum][:, 0],
-                    data_i[cnum][:, 0],
-                    wgts[cnum][:, 0],
-                )
-                continue
             if fused_loss_applicable(comps) and comps.shape[0] == data_r[cnum].shape[0]:
                 pr, pi = gain_products(g_r, g_i, a0, a1)  # (ngrps, 1, nfreqs)
                 coeffs2 = jnp.stack([fg_r[cnum], fg_i[cnum]], axis=0)

@@ -55,29 +55,9 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
     total = 0.0
     for cnum, (comps, a0, a1) in enumerate(chunks):
         if use_pallas:
-            from ..ops.fused import (
-                fused_chunk_loss,
-                fused_loss_applicable,
-                onepass_applicable,
-                onepass_chunk_loss,
-            )
+            from ..ops.fused import fused_chunk_loss, fused_loss_applicable
             from ..ops.loss import gain_products
 
-            if onepass_applicable(comps) and comps.shape[0] == data_r[cnum].shape[1]:
-
-                def onepass_slice(gr, gi, fr, fi, dr, di, w):
-                    pr, pi = gain_products(gr, gi, a0, a1)
-                    coeffs2 = jnp.stack([fr, fi], axis=0)
-                    return onepass_chunk_loss(
-                        coeffs2, pr[:, 0], pi[:, 0], comps[:, 0],
-                        dr[:, 0], di[:, 0], w[:, 0],
-                    )
-
-                total = total + jax.vmap(onepass_slice)(
-                    g_r, g_i, fg_r[cnum], fg_i[cnum],
-                    data_r[cnum], data_i[cnum], wgts[cnum],
-                )
-                continue
             if fused_loss_applicable(comps) and comps.shape[0] == data_r[cnum].shape[1]:
 
                 def fused_slice(gr, gi, fr, fi, dr, di, w):

@@ -85,6 +85,48 @@ def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata):
         assert os.path.exists(fn)
 
 
+def test_weights_file_cli(tmp_path, input_file, redundant_visdata):
+    """--weights_file loads a UVFlag HDF5 weights object into the fit and
+    matches passing the same object in memory."""
+    from calamity_tpu.io import FlagWeights
+
+    rng = np.random.default_rng(3)
+    uvf = FlagWeights(redundant_visdata, mode="flag")
+    uvf.weights_array[:] = np.abs(rng.standard_normal(uvf.weights_array.shape))
+    wpath = os.path.join(str(tmp_path), "weights.h5")
+    uvf.to_uvflag_h5(wpath)
+
+    common = dict(
+        input_data_files=input_file,
+        maxsteps=200,
+        tol=1e-10,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+    )
+    m1, r1, g1, _ = calibration.read_calibrate_and_model_dpss(
+        weights_file=wpath, **common
+    )
+    m2, r2, g2, _ = calibration.read_calibrate_and_model_dpss(
+        weights_file=None, **common
+    )
+    # the random weights change the fit; identical-weight runs agree
+    assert not np.allclose(g1.gain_array, g2.gain_array)
+    m3, r3, g3, _ = calibration.read_calibrate_and_model_dpss(
+        weights_file=wpath, **common
+    )
+    np.testing.assert_allclose(g1.gain_array, g3.gain_array)
+    # flag parses
+    sys.argv = [sys.argv[0], "--input_data_files", input_file,
+                "--weights_file", wpath]
+    args = calibration.dpss_fit_argparser().parse_args()
+    assert args.weights_file == wpath
+    # mutual exclusion with autocorr weights
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        calibration.read_calibrate_and_model_dpss(
+            weights_file=wpath, use_autocorrs_in_weights=True, **common
+        )
+
+
 def test_read_calibrate_clobber_fails_fast(tmp_path, input_file):
     out = os.path.join(str(tmp_path), "resid.uvh5")
     open(out, "w").close()

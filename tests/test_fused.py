@@ -72,10 +72,8 @@ def test_fused_grads_match_xla(chunk_inputs):
 
 
 def test_fused_bf16_comps(chunk_inputs):
-    """bf16 comps through the HYBRID kernel (f32 coefficients preserved)
-    match the XLA bf16 path to f32 tolerance. (The chunked_loss router
-    sends bf16 chunks to the one-pass kernel instead — tested separately
-    at its own bf16 tolerance.)"""
+    """bf16 comps through the hybrid kernel (f32 coefficients preserved)
+    match the XLA bf16 path to f32 tolerance."""
     from calamity_tpu.ops.fused import fused_chunk_loss
     from calamity_tpu.ops.loss import gain_products
 
@@ -150,88 +148,6 @@ def test_fused_under_vmap(chunk_inputs):
     )(c)))(fg_r_b)
     a, b = np.asarray(gx), np.asarray(gp)
     assert np.allclose(a, b, atol=3e-5 * (np.abs(a).max() + 1e-12))
-
-
-def test_onepass_bf16_parity(chunk_inputs):
-    """Single-pass bf16 step kernel: loss + grads match the XLA bf16 path
-    to bf16 tolerance (the kernel also quantizes coefficients / dv factors
-    to bf16, adding ~4e-3 relative — within the mode's accepted floor)."""
-    from calamity_tpu.ops.fused import onepass_applicable
-
-    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
-    comps_bf = comps.astype(jnp.bfloat16)
-    assert onepass_applicable(comps_bf)
-    assert not onepass_applicable(comps)  # f32 routes to XLA / hybrid
-    chunks = ((comps_bf, a0, a1),)
-
-    def make_loss(use_pallas):
-        def f(params):
-            gr, gi, fr, fi = params
-            return loss_ops.chunked_loss(
-                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,),
-                use_pallas=use_pallas,
-            )
-        return f
-
-    params = (g_r, g_i, fg_r, fg_i)
-    lx, gx = jax.value_and_grad(make_loss(False))(params)
-    lp, gp = jax.value_and_grad(make_loss(True))(params)
-    assert np.isclose(float(lx), float(lp), rtol=2e-2)
-    for name, a, b in zip(["g_r", "g_i", "fg_r", "fg_i"], gx, gp):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = np.abs(a).max() + 1e-12
-        assert np.allclose(a, b, atol=3e-2 * scale), f"grad mismatch for {name}"
-
-
-def test_onepass_descends(chunk_inputs):
-    """A full optax descent through the one-pass kernel reduces the loss."""
-    import optax
-
-    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
-    chunks = ((comps.astype(jnp.bfloat16), a0, a1),)
-    opt = optax.adamax(1e-2)
-
-    @jax.jit
-    def step(params, opt_state):
-        def f(p):
-            gr, gi, fr, fi = p
-            return loss_ops.chunked_loss(
-                gr, gi, (fr,), (fi,), chunks, (data_r,), (data_i,), (wgts,),
-                use_pallas=True,
-            )
-        loss, grads = jax.value_and_grad(f)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return loss, optax.apply_updates(params, updates), opt_state
-
-    params = (g_r, g_i, fg_r, fg_i)
-    opt_state = opt.init(params)
-    losses = []
-    for _ in range(8):
-        loss, params, opt_state = step(params, opt_state)
-        losses.append(float(loss))
-    assert losses[-1] < losses[0]
-    assert np.all(np.isfinite(losses))
-
-
-def test_onepass_under_vmap(chunk_inputs):
-    """vmap over the one-pass kernel (batched time-parallel usage)."""
-    comps, a0, a1, g_r, g_i, fg_r, fg_i, data_r, data_i, wgts = chunk_inputs
-    comps_bf = comps.astype(jnp.bfloat16)
-    nb = 2
-    tile = lambda x: jnp.tile(x[None], (nb,) + (1,) * x.ndim)
-    chunks = ((comps_bf, a0, a1),)
-
-    def one(gr, gi, fr, fi, dr, di, w, use_pallas):
-        return loss_ops.chunked_loss(
-            gr, gi, (fr,), (fi,), chunks, (dr,), (di,), (w,),
-            use_pallas=use_pallas,
-        )
-
-    args = (tile(g_r), tile(g_i), tile(fg_r), tile(fg_i),
-            tile(data_r), tile(data_i), tile(wgts))
-    lx = jax.vmap(lambda *a: one(*a, False))(*args)
-    lp = jax.vmap(lambda *a: one(*a, True))(*args)
-    assert np.allclose(np.asarray(lx), np.asarray(lp), rtol=2e-2)
 
 
 def test_fused_inside_jit_and_fit_step(chunk_inputs):
