@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--maxsteps", type=int, default=3000)
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
+    ap.add_argument("--comps_precision", default="float32",
+                    choices=["float32", "bfloat16", "mixed"],
+                    help="basis storage precision for the descent "
+                         "(docs/BF16_COMPS.md)")
     args = ap.parse_args()
 
     import jax
@@ -138,6 +142,7 @@ def main():
         gains=None,
         fg_model_comps_dict=comps,
         maxsteps=args.maxsteps,
+        comps_precision=args.comps_precision,
         tol=args.tol,
         learning_rate=1e-2,
         correct_resid=True,

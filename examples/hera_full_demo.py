@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--maxsteps", type=int, default=2000)
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
+    ap.add_argument("--comps_precision", default="float32",
+                    choices=["float32", "bfloat16", "mixed"],
+                    help="basis storage precision for the descent "
+                         "(docs/BF16_COMPS.md)")
     ap.add_argument("--time_parallel", action="store_true",
                     help="run the batched fit path (sharded over the mesh)")
     ap.add_argument("--mesh", default=None,
@@ -146,6 +150,7 @@ def main():
         gains=None,
         fg_model_comps_dict=comps,
         maxsteps=args.maxsteps,
+        comps_precision=args.comps_precision,
         tol=args.tol,
         learning_rate=1e-2,
         correct_resid=True,

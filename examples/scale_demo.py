@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--maxsteps", type=int, default=5000)
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
+    ap.add_argument("--comps_precision", default="float32",
+                    choices=["float32", "bfloat16", "mixed"],
+                    help="basis storage precision for the descent "
+                         "(docs/BF16_COMPS.md)")
     ap.add_argument("--use_pallas", action="store_true")
     ap.add_argument("--repeat_fit", action="store_true",
                     help="run the fit twice; the second run reuses the compiled "
@@ -97,6 +101,7 @@ def main():
         gains=None,
         fg_model_comps_dict=comps,
         maxsteps=args.maxsteps,
+        comps_precision=args.comps_precision,
         tol=args.tol,
         learning_rate=1e-2,
         correct_resid=True,
