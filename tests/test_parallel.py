@@ -79,6 +79,30 @@ def test_time_parallel_sharded(projected_multitime):
     assert np.all(np.isfinite(gains.gain_array))
 
 
+def test_time_parallel_sharded_mixed_precision(projected_multitime):
+    """comps_precision='mixed' through the meshed batched path: the bf16
+    chunk copies inherit the ('data','bl') shardings and the optimizer
+    state carries across the precision switch under the mesh."""
+    mesh = parallel.make_mesh(n_data=2, n_bl=4)
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        gains=None,
+        maxsteps=2000,
+        tol=1e-10,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        mesh=mesh,
+        comps_precision="mixed",
+    )
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    assert len(hist[0]) == 3
+    assert np.all(np.isfinite(gains.gain_array))
+
+
 def test_time_parallel_sum_regularized(projected_multitime):
     model, resid, gains, hist = calibration.calibrate_and_model_dpss(
         min_dly=2.0 / 0.3,
