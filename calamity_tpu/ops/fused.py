@@ -46,8 +46,9 @@ should be multiples of 128 for clean tiling; `fused_loss_applicable` gates
 usage accordingly, and non-conforming problems use the XLA path.
 
 Status: HARDWARE-VERIFIED on TPU v5e at full bench shapes (G=2048, F=1536,
-V=128): forward loss and every gradient match the XLA path to float32
-precision; see docs/DESIGN.md for measured step times.
+V=128) for BOTH comps dtypes: loss bit-identical to the XLA path,
+coefficient-gradient max relative error 2.3e-7 (f32) / 2.7e-7 (bf16
+comps); see docs/DESIGN.md and docs/BF16_COMPS.md for measured step times.
 """
 
 from __future__ import annotations

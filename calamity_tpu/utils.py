@@ -30,27 +30,18 @@ def select_baselines(
     Reference parity: utils.select_baselines (utils.py:13-37). Baseline
     vector is ENU(ant1) - ENU(ant2); the EW cut uses its absolute east
     component, so orientation does not matter."""
-    if ex_ants is None:
-        ex_ants = []
-    ex_ants = set(ex_ants)
     antpos, antnums = visdata.get_ENU_antpos(pick_data_ants=True)
-    if select_ants is None:
-        select_ants = set(antnums.tolist())
-    else:
-        select_ants = set(select_ants)
-    posdict = {an: ap for an, ap in zip(antnums.tolist(), antpos)}
-    antpairs_to_keep = []
-    for ap in visdata.get_antpairs():
-        blvec = posdict[ap[0]] - posdict[ap[1]]
-        bllen = np.linalg.norm(blvec)
-        if (
-            bllen >= bllen_min
-            and bllen <= bllen_max
-            and np.abs(blvec[0]) > bl_ew_min
-            and ap[0] not in ex_ants
-            and ap[1] not in ex_ants
-            and ap[0] in select_ants
-            and ap[1] in select_ants
-        ):
-            antpairs_to_keep.append(ap)
-    visdata.select(bls=antpairs_to_keep, inplace=True)
+    slot = {int(a): i for i, a in enumerate(antnums.tolist())}
+    pairs = np.asarray(visdata.get_antpairs(), dtype=np.int64)  # (npairs, 2)
+    i0 = np.vectorize(slot.__getitem__)(pairs[:, 0])
+    i1 = np.vectorize(slot.__getitem__)(pairs[:, 1])
+    blvec = antpos[i0] - antpos[i1]
+    bllen = np.linalg.norm(blvec, axis=1)
+    keep = (bllen >= bllen_min) & (bllen <= bllen_max) & (np.abs(blvec[:, 0]) > bl_ew_min)
+    if ex_ants is not None:
+        ex = np.asarray(list(ex_ants), dtype=np.int64)
+        keep &= ~np.isin(pairs, ex).any(axis=1)
+    if select_ants is not None:
+        sel = np.asarray(list(select_ants), dtype=np.int64)
+        keep &= np.isin(pairs, sel).all(axis=1)
+    visdata.select(bls=[tuple(p) for p in pairs[keep]], inplace=True)
