@@ -72,6 +72,52 @@ def test_fresh_run_ignores_checkpoints_when_resume_false(tmp_path, projected):
     assert len(hist[0][0]["loss"]) == 60
 
 
+def test_checkpointed_mixed_precision_phases(tmp_path, projected):
+    """comps_precision='mixed' with checkpointing runs each phase in its
+    own checkpoint subdirectory, and resume with completed phase-2
+    checkpoints skips the bf16 phase entirely."""
+    ckdir = str(tmp_path / "mx")
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected,
+        gains=None,
+        maxsteps=120,
+        tol=0.0,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        checkpoint_dir=ckdir,
+        checkpoint_every=50,
+        comps_precision="mixed",
+    )
+    base = os.path.join(ckdir, "pol0_t0")
+    assert ckpt_mod.latest_checkpoint(os.path.join(base, "phase_bf16")) is not None
+    assert ckpt_mod.latest_checkpoint(os.path.join(base, "phase_f32")) is not None
+    n1, n2 = hist[0][0]["phase_steps"]
+    assert n1 == 120 and n2 == 120  # tol=0 runs both phases to maxsteps
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    # resume: phase-2 checkpoints exist, so the bf16 phase is skipped and
+    # phase 2 continues from its last checkpoint
+    model2, resid2, gains2, hist2 = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected,
+        gains=None,
+        maxsteps=170,
+        tol=0.0,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        checkpoint_dir=ckdir,
+        checkpoint_every=50,
+        comps_precision="mixed",
+    )
+    m1, m2_ = hist2[0][0]["phase_steps"]
+    assert m1 == 0  # bf16 phase skipped on resume
+    assert m2_ == 170
+
+
 def test_checkpointed_divergence_terminates(tmp_path, projected):
     """A diverging checkpointed fit must terminate instead of rewriting the
     same checkpoint forever (ADVICE r1, high severity)."""
