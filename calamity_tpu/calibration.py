@@ -529,10 +529,15 @@ def _calibrate_time_scan(
             "time scan (the two precision phases would interleave with the "
             "sequential warm starts); use 'float32' or 'bfloat16'"
         )
+    # bf16 chunks are used ONLY inside the descent; model write-back and
+    # SNR weights below keep evaluating the float32 basis (parity with the
+    # serial and time-parallel paths — comps_precision affects storage
+    # precision during the descent, not the written products)
+    fit_chunks = chunks
     if comps_precision == "bfloat16":
         from .solver.fit import convert_chunks_dtype
 
-        chunks = convert_chunks_dtype(chunks, jnp.bfloat16)
+        fit_chunks = convert_chunks_dtype(chunks, jnp.bfloat16)
     cfg = FitConfig(
         optimizer=optimizer,
         opt_kwargs=tuple(sorted(opt_kwargs.items())),
@@ -620,7 +625,7 @@ def _calibrate_time_scan(
         prior_i_s = jnp.asarray(np.asarray(priors_i, dtype=spec.dtype))
 
         all_params, history, nsteps, finals = scanned_warmstart_fit_core(
-            cfg, chunks, data_r_s, data_i_s, wgts_s,
+            cfg, fit_chunks, data_r_s, data_i_s, wgts_s,
             g_r0, g_i0, fg_init[0], fg_init[1], prior_r_s, prior_i_s,
         )
         history = np.asarray(history, dtype=np.float64)

@@ -58,7 +58,12 @@ def _card(keyword, value=None, comment=None):
         elif isinstance(value, (float, np.floating)):
             card = f"{key}= {value:>20.13E}"
         else:
-            sval = str(value).replace("'", "''")
+            # clamp so the card (incl. closing quote) stays within 80 chars;
+            # an over-long value would otherwise lose its closing quote to
+            # the final [:80] slice and corrupt the header
+            sval = str(value).replace("'", "''")[:67]
+            if sval.endswith("'") and not sval.endswith("''"):
+                sval = sval[:-1]  # don't split an escaped '' pair
             card = f"{key}= '{sval:<8s}'"
         if comment:
             card += f" / {comment}"
@@ -123,9 +128,19 @@ def _parse_header(raw):
             if card[8:10] == "= ":
                 body = card[10:]
                 if body.strip().startswith("'"):
-                    # string value: up to the closing quote
-                    end = body.find("'", body.find("'") + 1)
-                    val = body[body.find("'") + 1 : end].rstrip()
+                    # string value: scan to the closing quote, skipping
+                    # FITS-escaped '' pairs (a lone find() would truncate
+                    # values containing an apostrophe)
+                    first = body.find("'")
+                    end = first + 1
+                    while True:
+                        end = body.find("'", end)
+                        if end == -1 or body[end : end + 2] != "''":
+                            break
+                        end += 2
+                    if end == -1:
+                        end = len(body)
+                    val = body[first + 1 : end].rstrip()
                     val = val.replace("''", "'")
                 else:
                     if "/" in body:

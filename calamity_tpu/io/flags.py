@@ -22,11 +22,7 @@ import os
 import h5py
 import numpy as np
 
-
-def _decode(val):
-    if isinstance(val, bytes):
-        return val.decode("utf-8")
-    return val
+from .visdata import _decode
 
 
 class FlagWeights:
@@ -160,8 +156,9 @@ class FlagWeights:
             hdr["Nants_telescope"] = np.int64(counts["Nants_data"])
             hdr["ant_1_array"] = a1
             hdr["ant_2_array"] = a2
-            # pyuvdata's packed baseline numbers (ant1 * 2048 + ant2 + 2^16)
-            hdr["baseline_array"] = a1 * 2048 + a2 + 2**16
+            # pyuvdata's packed baseline numbers (antnums_to_baseline with
+            # the legacy 1-indexed offsets: 2048*(ant1+1) + (ant2+1) + 2^16)
+            hdr["baseline_array"] = 2048 * (a1 + 1) + (a2 + 1) + 2**16
             hdr["time_array"] = np.asarray(self.time_array, dtype=np.float64)
             hdr["lst_array"] = np.asarray(self.lst_array, dtype=np.float64)
             hdr["freq_array"] = np.asarray(self.freq_array, np.float64).reshape(-1)

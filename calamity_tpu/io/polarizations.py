@@ -130,3 +130,17 @@ def jstr2num(jones, x_orientation=None):
     if key.lower().startswith("j"):
         key = key[1:]
     return polstr2num(key, x_orientation=x_orientation)
+
+
+def conj_pol_ind(polarization_array, polnum):
+    """Column index of the conjugate polarization of AIPS number ``polnum``
+    in ``polarization_array`` — equals the direct index for parallel-hand
+    pols (their conjugate is themselves), -1 if the conjugate is absent.
+
+    Shared by VisData._conj_pol_ind and FitSpec (which also applies it to
+    FlagWeights objects)."""
+    import numpy as np
+
+    cnum = conj_pol(polnum)
+    matches = np.nonzero(np.asarray(polarization_array) == cnum)[0]
+    return int(matches[0]) if len(matches) else -1

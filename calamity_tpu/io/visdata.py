@@ -285,16 +285,15 @@ class VisData:
 
     def _conj_pol_ind(self, polnum, required=False):
         """Column index of the conjugate polarization of AIPS number polnum."""
-        cnum = conj_pol(polnum)
-        matches = np.nonzero(self.polarization_array == cnum)[0]
-        if len(matches) == 0:
-            if required:
-                raise KeyError(
-                    f"conjugate polarization {polnum2str(cnum)} not present "
-                    "(needed to read a conjugated cross-hand baseline)"
-                )
-            return -1
-        return int(matches[0])
+        from .polarizations import conj_pol_ind
+
+        ind = conj_pol_ind(self.polarization_array, polnum)
+        if ind < 0 and required:
+            raise KeyError(
+                f"conjugate polarization {polnum2str(conj_pol(polnum))} not "
+                "present (needed to read a conjugated cross-hand baseline)"
+            )
+        return ind
 
     def _bl_time_rows(self, ant1, ant2):
         """Blt rows for an antpair sorted by time, plus conjugation flag."""

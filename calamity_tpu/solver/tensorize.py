@@ -28,7 +28,7 @@ from typing import Any, Dict, List, NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.polarizations import conj_pol, polstr2num
+from ..io.polarizations import polstr2num
 
 
 def chunk_fitting_groups(fg_model_comps_dict, use_redundancy=False, grp_size_threshold=5,
@@ -294,13 +294,14 @@ class FitSpec:
 
         Built once per weights object and cached (same pattern as
         ``meta.rows``), replacing the per-(group, baseline) Python lookup
-        the reference does per (time, pol) slice (calibration.py:282-298)."""
-        cache = getattr(self, "_wrows_cache", None)
-        if cache is None:
-            cache = self._wrows_cache = {}
-        key = id(weights)
-        if key in cache:
-            return cache[key][1]
+        the reference does per (time, pol) slice (calibration.py:282-298).
+        The cache holds only the MOST RECENT weights object — a fit reuses
+        one object across all its (time, pol) slices, and an unbounded
+        id-keyed cache would pin every weights object ever passed (their
+        full flag/weight arrays) for the FitSpec's lifetime."""
+        cached = getattr(self, "_wrows_cache", None)
+        if cached is not None and cached[0] is weights:
+            return cached[1]
         wtimes = np.asarray(weights.time_array)
         pair_rows: Dict[tuple, list] = {}
         for row, (a1, a2) in enumerate(
@@ -340,19 +341,16 @@ class FitSpec:
                                 )
                             wrows[ti, g, b] = rows[m[0]]
             per_chunk.append(wrows)
-        # hold a reference to the weights object so id() cannot be recycled
-        cache[key] = (weights, per_chunk)
+        self._wrows_cache = (weights, per_chunk)
         return per_chunk
 
     @staticmethod
     def _conj_pol_ind(visdata, polnum):
-        """Column index of conj(polnum) in visdata; == direct index for
-        parallel-hand pols, -1 if the conjugate pol is absent."""
-        cnum = conj_pol(polnum)
-        if cnum == polnum:
-            return int(np.nonzero(visdata.polarization_array == polnum)[0][0])
-        matches = np.nonzero(visdata.polarization_array == cnum)[0]
-        return int(matches[0]) if len(matches) else -1
+        """Column index of conj(polnum) in a VisData or FlagWeights
+        (io.polarizations.conj_pol_ind; -1 if the conjugate is absent)."""
+        from ..io.polarizations import conj_pol_ind
+
+        return conj_pol_ind(visdata.polarization_array, polnum)
 
     def time_index(self, time):
         idx = np.nonzero(np.isclose(self.times, time, rtol=0.0, atol=1e-7))[0]

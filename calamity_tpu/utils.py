@@ -32,7 +32,10 @@ def select_baselines(
     component, so orientation does not matter."""
     antpos, antnums = visdata.get_ENU_antpos(pick_data_ants=True)
     slot = {int(a): i for i, a in enumerate(antnums.tolist())}
-    pairs = np.asarray(visdata.get_antpairs(), dtype=np.int64)  # (npairs, 2)
+    pairs = np.asarray(visdata.get_antpairs(), dtype=np.int64).reshape(-1, 2)
+    if pairs.shape[0] == 0:
+        visdata.select(bls=[], inplace=True)
+        return
     i0 = np.vectorize(slot.__getitem__)(pairs[:, 0])
     i1 = np.vectorize(slot.__getitem__)(pairs[:, 1])
     blvec = antpos[i0] - antpos[i1]

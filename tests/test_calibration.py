@@ -269,11 +269,17 @@ def test_weighted_pack_uses_cached_row_table(sky_model_projected, dpss_vectors, 
     spec = FitSpec(sky_model_projected, dpss_vectors, ants_map, dtype=np.float64)
     t = spec.times[0]
     r1 = spec.pack_data(sky_model_projected, "xx", t, weights=weights)
-    assert len(spec._wrows_cache) == 1
+    assert spec._wrows_cache[0] is weights
+    tables = spec._wrows_cache[1]
     r2 = spec.pack_data(sky_model_projected, "xx", t, weights=weights)
-    assert len(spec._wrows_cache) == 1  # reused, not rebuilt
+    assert spec._wrows_cache[1] is tables  # reused, not rebuilt
     for a, b in zip(r1[2], r2[2]):
         assert np.allclose(np.asarray(a), np.asarray(b))
+    # a DIFFERENT weights object replaces the single-entry cache (no
+    # unbounded growth pinning every weights object ever used)
+    w2 = weights.copy()
+    spec.pack_data(sky_model_projected, "xx", t, weights=w2)
+    assert spec._wrows_cache[0] is w2
 
 
 # --------------------------------------------------------------------- #

@@ -210,11 +210,12 @@ def test_uvflag_h5_spec_conformance(tmp_path, golomb_visdata):
             assert key in hdr, f"missing header field {key}"
         nblts = int(hdr["Nblts"][()])
         assert hdr["time_array"].shape == (nblts,)
-        # pyuvdata packed baseline numbers
+        # pyuvdata packed baseline numbers (antnums_to_baseline:
+        # 2048*(ant1+1) + (ant2+1) + 2^16)
         np.testing.assert_array_equal(
             np.asarray(hdr["baseline_array"]),
-            np.asarray(hdr["ant_1_array"]) * 2048
-            + np.asarray(hdr["ant_2_array"]) + 2**16,
+            2048 * (np.asarray(hdr["ant_1_array"]) + 1)
+            + (np.asarray(hdr["ant_2_array"]) + 1) + 2**16,
         )
         data = f["Data"]
         nfreqs = int(hdr["Nfreqs"][()])
@@ -478,6 +479,37 @@ def test_calfits_pyuvdata_layout(tmp_path, golomb_visdata):
     assert np.allclose(np.asarray(cols["ANTINDEX"], float), cal.antenna_numbers)
     # file is record-aligned
     assert os.path.getsize(path) % 2880 == 0
+
+
+def test_calfits_string_values_roundtrip(tmp_path, golomb_visdata):
+    """FITS card writer/parser handle apostrophes (FITS '' escaping) and
+    clamp over-long strings instead of dropping the closing quote."""
+    from calamity_tpu.io import CalData
+
+    cal = CalData.blank_from_visdata(golomb_visdata)
+    cal.telescope_name = "Owen's Valley"
+    path = str(tmp_path / "apos.calfits")
+    cal.write_calfits(path)
+    back = CalData.from_calfits(path)
+    assert back.telescope_name == "Owen's Valley"
+
+    cal2 = CalData.blank_from_visdata(golomb_visdata)
+    cal2.telescope_name = "X" * 120  # longer than one card can hold
+    path2 = str(tmp_path / "long.calfits")
+    cal2.write_calfits(path2)
+    back2 = CalData.from_calfits(path2)  # parses cleanly, value clamped
+    assert back2.telescope_name.startswith("X" * 40)
+
+
+def test_select_baselines_empty_pairs(golomb_visdata):
+    """Selection on an already-empty dataset is a no-op, not an IndexError."""
+    from calamity_tpu import utils
+
+    uvd = golomb_visdata.copy()
+    utils.select_baselines(uvd, bllen_min=1e9)  # removes everything
+    assert uvd.Nbls == 0
+    utils.select_baselines(uvd, bllen_min=0.0)  # second pass on empty data
+    assert uvd.Nbls == 0
 
 
 def test_calfits_rejects_irregular_axes(tmp_path, golomb_visdata):
