@@ -61,11 +61,40 @@ def fit_shardings(mesh):
 
 
 def shard_chunk(mesh, chunk, data_r, data_i, wgts):
-    """device_put one chunk's static tensors + batched data onto the mesh."""
+    """device_put one chunk's static tensors + batched data onto the mesh.
+
+    Handles the package's chunk layouts: a plain-shared operator matrix
+    (comps group dim 1) is replicated rather than sharded over 'bl', and
+    non-divisible group/batch axes raise a clear error — the driver
+    (`calibrate_and_model_tensor(time_parallel=True, mesh=...)`) pads both
+    axes to mesh multiples before calling device_put; use it (or pad the
+    same way) rather than sharding ragged chunks directly."""
     sh = fit_shardings(mesh)
-    comps = jax.device_put(chunk[0], sh["comps"])
-    a0 = jax.device_put(chunk[1], sh["ants"])
-    a1 = jax.device_put(chunk[2], sh["ants"])
+    n_bl = mesh.shape["bl"]
+    n_data = mesh.shape["data"]
+    comps, a0, a1 = chunk[0], chunk[1], chunk[2]
+    ngrps = a0.shape[0]
+    if ngrps % n_bl or data_r.shape[0] % n_data:
+        raise ValueError(
+            f"chunk group axis ({ngrps}) and batch axis ({data_r.shape[0]}) "
+            f"must be multiples of the mesh ({n_data}x{n_bl}); pad with "
+            "zero-weight entries as _calibrate_time_parallel does, or call "
+            "the driver with time_parallel=True, mesh=..."
+        )
+    if comps.shape[0] == 1:
+        # plain-shared operator: one matrix serves every group — replicate
+        comps = jax.device_put(
+            comps, NamedSharding(mesh, P(None, None, None, None))
+        )
+    elif comps.shape[0] % n_bl:
+        raise ValueError(
+            f"comps leading axis ({comps.shape[0]}) must be 1 (shared) or a "
+            f"multiple of n_bl={n_bl} (dense / shared-batched class axis)"
+        )
+    else:
+        comps = jax.device_put(comps, sh["comps"])
+    a0 = jax.device_put(a0, sh["ants"])
+    a1 = jax.device_put(a1, sh["ants"])
     data_r = jax.device_put(data_r, sh["data"])
     data_i = jax.device_put(data_i, sh["data"])
     wgts = jax.device_put(wgts, sh["data"])

@@ -51,16 +51,26 @@ def _orbax_state(ckpt: FitCheckpoint):
 
 def save_checkpoint(path, ckpt: FitCheckpoint):
     """Persist a FitCheckpoint: orbax (the TPU-native checkpoint library)
-    when importable, numpy+pickle otherwise."""
+    when importable, numpy+pickle otherwise.
+
+    Overwrites an existing checkpoint at ``path`` (a rerun into an existing
+    checkpoint_dir lands on the same step paths; orbax refuses to overwrite
+    by default, and swallowing that error would leave the STALE checkpoint
+    preferred by load_checkpoint while the fresh state went to the numpy
+    fallback beside it — the fit would silently resume from old-run state)."""
+    target = os.path.abspath(os.path.join(path, "orbax"))
+    if os.path.isdir(target):
+        import shutil
+
+        shutil.rmtree(target)
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        target = os.path.abspath(os.path.join(path, "orbax"))
         ckptr.save(target, _orbax_state(ckpt))
         ckptr.wait_until_finished()
         return
-    except (ImportError, ValueError):
+    except ImportError:
         pass
     os.makedirs(path, exist_ok=True)
     state = {

@@ -72,97 +72,34 @@ def convert_chunks_dtype(chunks, dtype):
     return tuple((comps.astype(dtype), a0, a1) for comps, a0, a1 in chunks)
 
 
-@partial(jax.jit, static_argnums=(0,))
 def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
               prior_r_sum, prior_i_sum):
+    """One full fit: a warm-up step followed by a single maxsteps segment.
+
+    Thin composition over _fit_segment (which owns the loss construction,
+    while_loop, tol/divergence stops and use_min bookkeeping) — the same
+    composition _fit_checkpointed uses, so the three fit paths share one
+    loop implementation. Semantics match the reference
+    fit_gains_and_foregrounds (calibration.py:447-738): the warm-up step
+    is unrecorded (calibration.py:693) and the first recorded step cannot
+    trigger the tolerance stop."""
     opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
     dtype = g_r.dtype
-
-    if cfg.freeze_model:
-        params0 = (g_r, g_i)
-
-        def loss_fn(params):
-            gr, gi = params
-            if cfg.regularization == "sum":
-                return chunked_loss_sum_regularized(
-                    gr, gi, fg_r, fg_i, chunks, data_r, data_i, wgts,
-                    prior_r_sum, prior_i_sum,
-                )
-            return chunked_loss(gr, gi, fg_r, fg_i, chunks, data_r, data_i, wgts,
-                                use_pallas=cfg.use_pallas, remat=cfg.remat)
-
-    else:
-        params0 = (g_r, g_i, fg_r, fg_i)
-
-        def loss_fn(params):
-            gr, gi, fr, fi = params
-            if cfg.regularization == "sum":
-                return chunked_loss_sum_regularized(
-                    gr, gi, fr, fi, chunks, data_r, data_i, wgts,
-                    prior_r_sum, prior_i_sum,
-                )
-            return chunked_loss(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
-                                use_pallas=cfg.use_pallas, remat=cfg.remat)
-
-    vg = jax.value_and_grad(loss_fn)
-    opt_state0 = opt.init(params0)
-
-    def one_step(params, opt_state):
-        loss, grads = vg(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return loss, params, opt_state
-
-    # warm-up step outside the recorded loop (reference calibration.py:693)
-    _, params, opt_state = one_step(params0, opt_state0)
-
-    history0 = jnp.full((cfg.maxsteps,), jnp.nan, dtype=dtype)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
-    state0 = (
-        jnp.asarray(0, jnp.int32),  # step
-        params,
-        opt_state,
-        big,  # previous recorded loss
-        big,  # |delta| from last step
-        big,  # best loss
-        params,  # best params
-        history0,
+    params = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
+    opt_state = opt.init(params)
+    params, opt_state, _, _, _, _, _, _ = _fit_segment(
+        cfg, 1, chunks, data_r, data_i, wgts, fg_r, fg_i,
+        prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
     )
-
-    def cond(state):
-        step, _, _, prev_loss, delta, _, _, _ = state
-        ok = jnp.logical_and(step < cfg.maxsteps, delta >= cfg.tol)
-        # divergence watchdog: a non-finite loss can never recover under
-        # Adam-family updates; stop instead of burning the step budget
-        return jnp.logical_and(ok, jnp.isfinite(prev_loss))
-
-    def body(state):
-        step, params, opt_state, prev_loss, _, best_loss, best_params, history = state
-        loss, new_params, new_opt_state = one_step(params, opt_state)
-        history = history.at[step].set(loss.astype(dtype))
-        delta = jnp.where(step >= 1, jnp.abs(loss - prev_loss), big)
-        is_best = loss < best_loss
-        best_loss = jnp.minimum(loss, best_loss)
-        # store the post-update parameters associated with the best recorded
-        # loss (matches the reference's bookkeeping, calibration.py:702-710)
-        best_params = _tree_where(is_best, new_params, best_params)
-        return (
-            step + 1,
-            new_params,
-            new_opt_state,
-            loss,
-            delta,
-            best_loss,
-            best_params,
-            history,
+    params, opt_state, prev, best_loss, best_params, history, step, _ = (
+        _fit_segment(
+            cfg, cfg.maxsteps, chunks, data_r, data_i, wgts, fg_r, fg_i,
+            prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
         )
-
-    step, params, _, last_loss, _, best_loss, best_params, history = jax.lax.while_loop(
-        cond, body, state0
     )
-
     out_params = best_params if cfg.use_min else params
-    final_loss = best_loss if cfg.use_min else last_loss
+    final_loss = best_loss if cfg.use_min else prev
     if cfg.freeze_model:
         g_r_o, g_i_o = out_params
         fg_r_o, fg_i_o = fg_r, fg_i

@@ -240,8 +240,15 @@ class FitSpec:
                 def _digest(mat):
                     key = id(mat)
                     if key not in digests:
-                        digests[key] = (mat.shape, hashlib.sha1(mat.tobytes()).hexdigest())
-                    return digests[key]
+                        # hold the array alongside its digest: id() keys are
+                        # only stable while the object is alive, and callers
+                        # may pass temporaries (np.asarray of list values)
+                        # whose recycled addresses would alias a stale hash
+                        digests[key] = (
+                            mat,
+                            (mat.shape, hashlib.sha1(mat.tobytes()).hexdigest()),
+                        )
+                    return digests[key][1]
 
                 by_digest = {}
                 for fit_grp, mat in grp_dict.items():

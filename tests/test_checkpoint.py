@@ -72,6 +72,34 @@ def test_fresh_run_ignores_checkpoints_when_resume_false(tmp_path, projected):
     assert len(hist[0][0]["loss"]) == 60
 
 
+def test_checkpoint_overwrite_same_path(tmp_path):
+    """Saving twice to the same step path must persist the SECOND state —
+    orbax refuses to overwrite by default, and silently falling back to the
+    numpy writer would leave load_checkpoint preferring the stale orbax
+    directory."""
+    import jax.numpy as jnp
+
+    def mk(v):
+        params = (jnp.full((3,), v), jnp.full((3,), v + 1.0))
+        return ckpt_mod.FitCheckpoint(
+            params=params,
+            opt_state=(jnp.zeros((3,)),),
+            step=int(v),
+            prev_loss=float(v),
+            best_loss=float(v),
+            best_params=params,
+            history=np.full((int(v),), v, dtype=np.float64),
+        )
+
+    path = str(tmp_path / "step_10")
+    ckpt_mod.save_checkpoint(path, mk(1.0))
+    ckpt_mod.save_checkpoint(path, mk(2.0))
+    back = ckpt_mod.load_checkpoint(path, mk(2.0))
+    assert float(back.prev_loss) == 2.0
+    assert np.allclose(np.asarray(back.params[0]), 2.0)
+    assert len(back.history) == 2
+
+
 def test_checkpointed_mixed_precision_phases(tmp_path, projected):
     """comps_precision='mixed' with checkpointing runs each phase in its
     own checkpoint subdirectory, and resume with completed phase-2
