@@ -28,13 +28,17 @@ def apply_gains(uvdata, gains, inverse=False):
     ant_index = {int(a): i for i, a in enumerate(gains.ant_array)}
     a0 = np.array([ant_index[int(a)] for a in uvdata.ant_1_array])
     a1 = np.array([ant_index[int(a)] for a in uvdata.ant_2_array])
-    # match each blt time to a gain time (atol 1e-7 like the reference)
-    tidx = np.zeros(uvdata.Nblts, dtype=np.int64)
-    for i, t in enumerate(uvdata.time_array):
+    # match each blt time to a gain time (atol 1e-7 like the reference);
+    # match UNIQUE times once and broadcast — a per-blt isclose scan is
+    # millions of Python iterations at full-HERA blt counts
+    utimes, uinv = np.unique(uvdata.time_array, return_inverse=True)
+    umatch = np.zeros(len(utimes), dtype=np.int64)
+    for i, t in enumerate(utimes):
         matches = np.nonzero(np.isclose(gains.time_array, t, rtol=0.0, atol=1e-7))[0]
         if len(matches) == 0:
             raise ValueError(f"no gain solution for time {t}")
-        tidx[i] = matches[0]
+        umatch[i] = matches[0]
+    tidx = umatch[uinv]
 
     for pnum, pol in enumerate(uvdata.get_pols()):
         gp = int(

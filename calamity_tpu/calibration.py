@@ -166,6 +166,15 @@ def get_auto_weights(uvdata, delay_extent=25.0):
         zip(uvdata.ant_1_array.tolist(), uvdata.ant_2_array.tolist())
     ):
         pair_rows.setdefault((a1, a2), []).append(row)
+    missing = sorted(
+        {a for ap in pair_rows for a in ap if a not in ant_slot}
+    )
+    if missing:
+        raise ValueError(
+            f"antennas {missing} appear in cross baselines but have no "
+            "autocorrelation; exclude them (ex_ants) or disable "
+            "use_autocorrs_in_weights"
+        )
     for (a1, a2), rows in pair_rows.items():
         rows = np.asarray(rows)
         rows = rows[np.argsort(uvdata.time_array[rows], kind="stable")]
@@ -578,7 +587,6 @@ def _calibrate_time_scan(
         per = {k: [[] for _ in range(nchunks)] for k in ("dr", "di", "w")}
         priors_r, priors_i = [], []
         fg_init = None
-        wgts_first = None
         for slot, (time_index, time, rms) in enumerate(usable):
             data_r, data_i, wgts = spec.pack_data(
                 uvdata, pol, time, data_scale_factor=rms, weights=weights,
@@ -593,8 +601,12 @@ def _calibrate_time_scan(
             if slot == 0:
                 fg_init = (tuple(spec.init_coeffs(sky_r, wgts)),
                            tuple(spec.init_coeffs(sky_i, wgts)))
-                wgts_first = wgts
                 if use_model_snr_weights:
+                    # SNR scaling applies only at the first time; later
+                    # warm-started times keep their own per-time weights
+                    # (and flags) unscaled — reference semantics, the
+                    # scaling lives inside the init branch
+                    # (calibration.py:1210-1242)
                     wmodel = fg_model_all_chunks(fg_init[0], fg_init[1], chunks)
                     wgts = [
                         (jnp.square(vr) + jnp.square(vi)) * w
@@ -602,12 +614,6 @@ def _calibrate_time_scan(
                     ]
                     wsum = sum(float(jnp.sum(w)) for w in wgts)
                     wgts = [w / wsum for w in wgts]
-                    wgts_first = wgts
-            elif use_model_snr_weights:
-                # warm-start semantics: weights fixed from the first time
-                # (reference only rebuilds them inside the init branch,
-                # calibration.py:1210-1242)
-                wgts = wgts_first
             priors_r.append(sum(float(jnp.sum(sr * w)) for sr, w in zip(sky_r, wgts)))
             priors_i.append(sum(float(jnp.sum(si * w)) for si, w in zip(sky_i, wgts)))
             for cnum in range(nchunks):
@@ -1244,11 +1250,18 @@ def read_calibrate_and_model_dpss(
         input_gain_files = [input_gain_files]
     if input_gain_files is not None:
         if isinstance(input_gain_files, list):
-            path = input_gain_files[0]
-            if path.endswith(".calh5"):
-                uvc = CalData.from_calh5(path)
-            else:
-                uvc = CalData.from_calfits(path)
+            # concatenate like the reference's UVCal.read_calfits(list)
+            # (reference calibration.py:1788-1789) — per-time gain files
+            # are a normal input shape; first-file-only would silently
+            # warm-start later times from missing gains
+            def _read_gain(path):
+                if path.endswith(".calh5"):
+                    return CalData.from_calh5(path)
+                return CalData.from_calfits(path)
+
+            uvc = _read_gain(input_gain_files[0])
+            for extra in input_gain_files[1:]:
+                uvc = uvc + _read_gain(extra)
         else:
             uvc = input_gain_files
     else:

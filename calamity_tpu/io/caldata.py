@@ -128,8 +128,13 @@ class CalData:
         obj.antenna_positions = np.asarray(visdata.antenna_positions)
         obj.freq_array = np.asarray(visdata.freq_array)
         obj.jones_array = np.asarray(visdata.polarization_array)
-        obj.time_array = np.unique(visdata.time_array)
-        obj.lst_array = np.unique(visdata.lst_array)
+        # lst per UNIQUE TIME, aligned index-for-index with time_array —
+        # np.unique on the LSTs themselves breaks the pairing whenever LSTs
+        # repeat (simulated data) or wrap through 0 (real data)
+        obj.time_array, first_rows = np.unique(
+            visdata.time_array, return_index=True
+        )
+        obj.lst_array = np.asarray(visdata.lst_array)[first_rows]
         obj.integration_time = float(np.mean(visdata.integration_time))
         obj.x_orientation = visdata.x_orientation
         nants = len(obj.ant_array)

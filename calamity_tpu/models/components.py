@@ -153,6 +153,9 @@ def yield_mixed_comps(
         bllens = np.linalg.norm(blvecs, axis=1)
         if len(fit_grp) <= grp_size_threshold:
             for red_grp, bllen in zip(fit_grp, bllens):
+                # small groups deliberately use offset=ant_dly (NOT the
+                # caller's offset) — reference parity, modeling.py:454;
+                # large groups' covariance uses both (simple_cov)
                 modeling_vectors[(tuple(red_grp),)] = yield_dpss_model_comps_bl_grp(
                     freqs=freqs,
                     length=bllen,

@@ -105,9 +105,23 @@ def get_uv_overlapping_grps_conjugated(
                 su = u0[:, None] + u1[None, :]
                 sv = v0[:, None] + v1[None, :]
                 if np.any(np.hypot(su, sv) <= red_tol_freq):
-                    # conjugate overlap: flip the later group's orientation
+                    # conjugate overlap: flip the later group's orientation.
+                    # If the group was already registered under its old
+                    # orientation (a prior direct connection), MIGRATE that
+                    # entry — leaving it would emit the same physical
+                    # baselines twice, once per orientation
+                    old_k = _key(g1)
                     red_grps[g1] = [ap[::-1] for ap in red_grps[g1]]
                     vec_bin_centers[g1] = -vec_bin_centers[g1]
+                    new_k = _key(g1)
+                    if old_k in connections:
+                        connections[new_k] = connections.pop(old_k)
+                        vbc_hash.pop(old_k)
+                        vbc_hash[new_k] = vec_bin_centers[g1]
+                        for s in connections.values():
+                            if old_k in s:
+                                s.discard(old_k)
+                                s.add(new_k)
                     k1 = _ensure(g1)
                     connections[k0].add(k1)
                     connections[k1].add(k0)

@@ -226,7 +226,7 @@ def make_noise_with_rfi_flags(
     channels plus scattered flags; used to verify the pipeline produces
     finite outputs under heavy flagging."""
     antpos = np.zeros((nants, 3))
-    antpos[:, 0] = GOLOMB_6[:nants] * 5.0
+    antpos[:, 0] = np.asarray(golomb_marks(nants)) * 5.0
     freqs = f0 + df * np.arange(nfreqs)
     uvd = make_visdata(antpos, freqs, ntimes=ntimes, nsrc=10, seed=seed)
     rng = np.random.default_rng(seed + 1)

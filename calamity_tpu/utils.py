@@ -40,7 +40,12 @@ def select_baselines(
     i1 = np.vectorize(slot.__getitem__)(pairs[:, 1])
     blvec = antpos[i0] - antpos[i1]
     bllen = np.linalg.norm(blvec, axis=1)
-    keep = (bllen >= bllen_min) & (bllen <= bllen_max) & (np.abs(blvec[:, 0]) > bl_ew_min)
+    keep = (bllen >= bllen_min) & (bllen <= bllen_max)
+    if bl_ew_min > 0.0:
+        # strict > for a user-set threshold (reference utils.py:30); the
+        # default 0.0 must be a NO-OP — the reference's unconditional
+        # strict > silently drops every purely north-south baseline
+        keep &= np.abs(blvec[:, 0]) > bl_ew_min
     if ex_ants is not None:
         ex = np.asarray(list(ex_ants), dtype=np.int64)
         keep &= ~np.isin(pairs, ex).any(axis=1)

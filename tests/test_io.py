@@ -501,6 +501,88 @@ def test_calfits_string_values_roundtrip(tmp_path, golomb_visdata):
     assert back2.telescope_name.startswith("X" * 40)
 
 
+def test_select_baselines_keeps_north_south_at_default():
+    """bl_ew_min=0.0 must be a no-op: the reference's unconditional strict
+    '>' silently dropped every purely north-south baseline."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from calamity_tpu import simulate
+
+    antpos = np.zeros((4, 3))
+    antpos[:2, 0] = [0.0, 10.0]   # east-west pair
+    antpos[2:, 1] = [5.0, 25.0]   # north-south pair (zero east component)
+    freqs = 150e6 + 1e5 * np.arange(8)
+    uvd = simulate.make_visdata(antpos, freqs, nsrc=5, seed=0)
+    nbls = uvd.Nbls
+    utils.select_baselines(uvd)  # all defaults: no-op
+    assert uvd.Nbls == nbls
+    # a positive threshold still applies the strict cut
+    utils.select_baselines(uvd, bl_ew_min=1.0)
+    kept = uvd.get_antpairs()
+    assert (2, 3) not in kept and (3, 2) not in kept
+
+
+def test_blank_caldata_multitime_lst_alignment():
+    """blank_from_visdata keeps lst_array aligned per unique time even when
+    LSTs repeat (np.unique on LSTs collapsed them)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from calamity_tpu import simulate
+    from calamity_tpu.io import CalData
+
+    uvd = simulate.make_golomb_array(nants=4, nfreqs=8, seed=0)
+    uvd2 = uvd.copy()
+    uvd2.time_array = uvd2.time_array + 1.0  # same (zero) LSTs
+    both = uvd + uvd2
+    cal = CalData.blank_from_visdata(both)
+    assert len(cal.lst_array) == len(cal.time_array) == 2
+
+
+def test_multi_gain_file_concat(tmp_path, golomb_visdata):
+    """read_calibrate_and_model_dpss concatenates ALL gain files (the
+    reference reads lists via UVCal.read_calfits), not just the first."""
+    from calamity_tpu import calibration
+    from calamity_tpu.io import CalData
+
+    uvd1 = golomb_visdata.copy()
+    uvd2 = golomb_visdata.copy()
+    uvd2.time_array = uvd2.time_array + 1.0
+    d1 = str(tmp_path / "d1.uvh5")
+    d2 = str(tmp_path / "d2.uvh5")
+    uvd1.write_uvh5(d1)
+    uvd2.write_uvh5(d2)
+    g1 = CalData.blank_from_visdata(uvd1)
+    g2 = CalData.blank_from_visdata(uvd2)
+    p1 = str(tmp_path / "g1.calfits")
+    p2 = str(tmp_path / "g2.calfits")
+    g1.write_calfits(p1)
+    g2.write_calfits(p2)
+    model, resid, gains, _ = calibration.read_calibrate_and_model_dpss(
+        input_data_files=[d1, d2],
+        input_gain_files=[p1, p2],
+        maxsteps=20,
+        tol=1e-8,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+    )
+    assert len(gains.time_array) == 2  # both files' times present
+
+
+def test_noise_with_rfi_flags_large_nants():
+    """make_noise_with_rfi_flags handles nants beyond the hardcoded
+    6-mark table via golomb_marks."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from calamity_tpu import simulate
+
+    uvd = simulate.make_noise_with_rfi_flags(nants=8, nfreqs=16)
+    assert uvd.Nbls == 8 * 7 // 2
+    assert uvd.flag_array.any()
+
+
 def test_select_baselines_empty_pairs(golomb_visdata):
     """Selection on an already-empty dataset is a no-op, not an IndexError."""
     from calamity_tpu import utils
