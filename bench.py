@@ -39,8 +39,15 @@ def _device_inputs(ngrps, nbls, nfreqs, nvecs, nants, dtype):
     import numpy as np
 
     def synth(shape, phase):
+        # reduce an int32 index modulo a large prime BEFORE the float
+        # multiply: a float32 arange is only integer-exact to 2^24, and at
+        # TPU-scale sizes sin() would be constant over ~34-index runs,
+        # degenerating the basis
         n = int(np.prod(shape))
-        return jnp.sin(jnp.arange(n, dtype=dtype) * dtype(0.9310) + dtype(phase)).reshape(shape)
+        idx = jnp.arange(n, dtype=jnp.int32) % jnp.int32(7_368_787)
+        return jnp.sin(
+            idx.astype(dtype) * dtype(0.9310) + dtype(phase)
+        ).reshape(shape)
 
     @jax.jit
     def build():

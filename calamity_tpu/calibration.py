@@ -1197,7 +1197,8 @@ def read_calibrate_and_model_dpss(
     import os
 
     if not clobber:
-        for out in (resid_outfilename, gain_outfilename, model_outfilename):
+        for out in (resid_outfilename, gain_outfilename, model_outfilename,
+                    fitted_info_outfilename):
             if out is not None and os.path.exists(out):
                 raise IOError(f"{out} exists and clobber=False")
 
@@ -1298,6 +1299,11 @@ def read_calibrate_and_model_dpss(
     fit_info = {"fit_history": fit_info} if not isinstance(fit_info, dict) else fit_info
     fit_info["calibration_kwargs"] = dict(calibration_kwargs)
     fit_info["calibration_kwargs"]["dtype"] = dtype
+    if fitted_info_outfilename is not None:
+        # the reference accepts this parameter but never writes the file
+        # ("don't write fitting_info_outfilename for now", reference
+        # calibration.py:1813-1816); here it persists the fit diagnostics
+        np.save(fitted_info_outfilename, fit_info, allow_pickle=True)
     return model_fit, resid_fit, gains_fit, fit_info
 
 
@@ -1319,6 +1325,9 @@ def input_output_parser():
                     help="path for foreground model output file.")
     sp.add_argument("--gain_outfilename", type=str, default=None,
                     help="path for writing fitted gains (.calfits or .calh5).")
+    sp.add_argument("--fitted_info_outfilename", type=str, default=None,
+                    help="path for writing fit diagnostics (loss histories "
+                         "and calibration kwargs) as an .npy pickle.")
     sp.add_argument("--clobber", action="store_true", default=False,
                     help="Overwrite existing outputs.")
     sp.add_argument("--x_orientation", default="east", type=str,

@@ -32,7 +32,6 @@ from .ops.loss import (  # noqa: F401  (reference-named math kernels)
     fg_model_all_chunks,
     mse,
 )
-from .ops.lstsq import init_coeffs_chunk
 from .solver.tensorize import FitSpec, chunk_fitting_groups
 
 # reference name for the chunking step (calibration.py:30)
@@ -129,15 +128,26 @@ def tensorize_gains(spec, caldata, polarization, time, **_):
 
 def tensorize_fg_coeffs(data, wgts, fg_model_comps_or_spec, **_):
     """Least-squares coefficient init per chunk
-    (reference calibration.py:828-913). Accepts a FitSpec or a tuple of
-    (comps, a0, a1) chunk triples; returns a list of (ngrps, nvecs) arrays."""
+    (reference calibration.py:828-913). Accepts a FitSpec (all packing
+    layouts, cached gram factors), a tuple of internal (comps, a0, a1)
+    chunk triples, or the reference-layout (nvecs, ngrps, nbls, nfreqs)
+    comps list produced by tensorize_fg_model_comps_dict above; returns a
+    list of (ngrps, nvecs) arrays."""
     if isinstance(fg_model_comps_or_spec, FitSpec):
-        chunks = fg_model_comps_or_spec.device_chunks()
-    else:
-        chunks = fg_model_comps_or_spec
-    return [
-        init_coeffs_chunk(c[0], d, w) for c, d, w in zip(chunks, data, wgts)
-    ]
+        # handles dense, shared and shared-batched chunks (init_coeffs_chunk
+        # assumes the dense layout) and reuses the cached Cholesky factors
+        return fg_model_comps_or_spec.init_coeffs(data, wgts)
+    from .ops.lstsq import gram_cholesky_chunk, init_coeffs_from_cholesky
+
+    out = []
+    for c, d, w in zip(fg_model_comps_or_spec, data, wgts):
+        if isinstance(c, (tuple, list)):
+            comps = np.asarray(c[0])  # internal (ngrps, nbls, nfreqs, nvecs)
+        else:
+            comps = np.moveaxis(np.asarray(c), 0, -1)  # reference layout
+        chol, active = gram_cholesky_chunk(comps)
+        out.append(init_coeffs_from_cholesky(chol, active, comps, d, w))
+    return out
 
 
 def yield_fg_model_array(spec, fg_coeffs_r, fg_coeffs_i=None, nants=None,
@@ -149,15 +159,18 @@ def yield_fg_model_array(spec, fg_coeffs_r, fg_coeffs_i=None, nants=None,
     only (the reference builds real/imag planes in two calls)."""
     nants = nants or spec.nants
     nfreqs = nfreqs or spec.nfreqs
+    complex_out = fg_coeffs_i is not None
     if fg_coeffs_i is None:
         fg_coeffs_i = [np.zeros_like(np.asarray(c)) for c in fg_coeffs_r]
     chunks = spec.device_chunks()
     model_chunks = fg_model_all_chunks(tuple(fg_coeffs_r), tuple(fg_coeffs_i), chunks)
     cube = np.zeros((nants, nants, nfreqs), dtype=np.complex128)
     for chunk, meta, (vr, vi) in zip(spec.chunks, spec.meta, model_chunks):
-        a0 = np.asarray(chunk.a0)
-        a1 = np.asarray(chunk.a1)
-        vr = np.asarray(vr)
-        vi = np.asarray(vi)
-        cube[a0.ravel(), a1.ravel()] = (vr + 1j * vi).reshape(-1, nfreqs)
-    return cube
+        a0 = np.asarray(chunk.a0).ravel()
+        a1 = np.asarray(chunk.a1).ravel()
+        vals = (np.asarray(vr) + 1j * np.asarray(vi)).reshape(-1, nfreqs)
+        # shared-batched padding rows carry a0=a1=0 and must not write
+        # (same mask insert_model applies)
+        keep = meta.valid.ravel()
+        cube[a0[keep], a1[keep]] = vals[keep]
+    return cube if complex_out else cube.real

@@ -3,8 +3,9 @@
 Fills the role of the reference's ``calamity/version.py`` (git-shelling
 version info + ``history_string`` headers for written files) with a fresh
 implementation: the installed distribution version comes from
-``importlib.metadata`` when available, and the git state is probed with a
-single ``git log``/``status`` call instead of per-field subprocesses.
+``importlib.metadata`` when available, and the git state is probed ONCE at
+import into a module-level snapshot that every ``history_string`` call
+reuses (the reference re-shells git per written file).
 """
 
 from __future__ import annotations
@@ -49,7 +50,12 @@ class GitState:
 
 
 def probe_git_state(path=_PKG_DIR):
-    """Best-effort git snapshot; empty fields when not in a checkout."""
+    """Best-effort git snapshot; empty fields when not in a checkout.
+
+    Only reports a repository that actually CONTAINS the package source:
+    ``git -C`` walks upward, so a wheel install inside someone's analysis
+    repo would otherwise stamp that unrelated repo's commit/branch/origin
+    into every written file's provenance."""
     state = GitState()
 
     def run(*args):
@@ -59,6 +65,12 @@ def probe_git_state(path=_PKG_DIR):
         )
 
     try:
+        top = run("rev-parse", "--show-toplevel")
+        if top.returncode != 0:
+            return state
+        toplevel = os.path.realpath(top.stdout.strip())
+        if not os.path.realpath(path).startswith(toplevel + os.sep):
+            return state  # enclosing repo is not this package's checkout
         head = run("log", "-1", "--format=%H")
         if head.returncode != 0:
             return state
@@ -101,9 +113,11 @@ def history_string(notes=""):
     """Provenance block appended to the ``history`` of written files.
 
     Same role as the reference's history_string (version.py:76-88): record
-    enough to trace an output file back to the code that made it.
+    enough to trace an output file back to the code that made it. Reuses
+    the import-time snapshot — the git state cannot change under a running
+    process in a way worth five subprocesses per written file.
     """
-    info = construct_version_info()
+    info = version_info
     lines = [
         "",
         "[calamity_tpu provenance]",

@@ -64,3 +64,72 @@ def test_full_compat_pipeline(golomb_visdata):
             d = golomb_visdata.get_data(ap + ("xx",))[0]
             # projected? raw data may have out-of-basis power; loose check
             assert np.mean(np.abs(cube[i, j] - d) ** 2) ** 0.5 < 0.2 * rms
+
+
+def test_tensorize_fg_coeffs_shared_basis(redundant_visdata):
+    """The coefficient-init shim handles shared-basis FitSpecs (whose chunk
+    comps have group dim 1) and reference-layout comps lists — not just
+    dense triples."""
+    from calamity_tpu import cal_utils, models
+
+    comps = models.yield_pbl_dpss_model_comps(
+        redundant_visdata, offset=2.0 / 0.3, min_dly=2.0 / 0.3
+    )
+    gains = cal_utils.blank_uvcal_from_uvdata(redundant_visdata)
+    ants_map = {int(a): i for i, a in enumerate(gains.ant_array)}
+    spec = compat.make_fit_spec(
+        redundant_visdata, comps, ants_map, shared_basis=True
+    )
+    t = spec.times[0]
+    data_r, data_i, wgts = compat.tensorize_data(spec, redundant_visdata, "xx", t)
+    out = compat.tensorize_fg_coeffs(data_r, wgts, spec)
+    assert len(out) == len(spec.chunks)
+    for c, d in zip(out, data_r):
+        assert np.asarray(c).shape[0] == np.asarray(d).shape[0]
+
+    # reference-layout list from the module's own tensorizer
+    fg_comps, corr_inds = compat.tensorize_fg_model_comps_dict(
+        comps, ants_map, redundant_visdata.Nfreqs, visdata=redundant_visdata
+    )
+    spec_dense = compat.make_fit_spec(redundant_visdata, comps, ants_map)
+    dr2, di2, w2 = compat.tensorize_data(spec_dense, redundant_visdata, "xx", t)
+    out2 = compat.tensorize_fg_coeffs(dr2, w2, fg_comps)
+    for c, comps_ref in zip(out2, fg_comps):
+        assert np.asarray(c).shape == (comps_ref.shape[1], comps_ref.shape[0])
+
+
+def test_yield_fg_model_array_real_and_padding(redundant_visdata):
+    """Real-part contract when fg_coeffs_i is None, and shared-batched
+    padding entries must not write into the cube."""
+    from calamity_tpu import cal_utils, models
+
+    comps = models.yield_pbl_dpss_model_comps(
+        redundant_visdata, offset=2.0 / 0.3, min_dly=2.0 / 0.3
+    )
+    gains = cal_utils.blank_uvcal_from_uvdata(redundant_visdata)
+    ants_map = {int(a): i for i, a in enumerate(gains.ant_array)}
+    spec = compat.make_fit_spec(
+        redundant_visdata, comps, ants_map, shared_basis=True
+    )
+    t = spec.times[0]
+    data_r, data_i, wgts = compat.tensorize_data(spec, redundant_visdata, "xx", t)
+    fg_r = compat.tensorize_fg_coeffs(data_r, wgts, spec)
+    cube_real = compat.yield_fg_model_array(spec, fg_r)
+    assert cube_real.dtype.kind == "f"  # real part only, per docstring
+    fg_i = compat.tensorize_fg_coeffs(data_i, wgts, spec)
+    cube = compat.yield_fg_model_array(spec, fg_r, fg_i)
+    assert cube.dtype.kind == "c"
+    # if any chunk has padding rows, entry (0, 0) must not be clobbered by
+    # them: rebuild with coefficients forced nonzero in padded slots
+    has_padding = any(not m.valid.all() for m in spec.meta)
+    if has_padding:
+        fg_r_bad = [np.asarray(c) + 7.0 for c in fg_r]
+        cube2 = compat.yield_fg_model_array(spec, fg_r_bad, fg_i)
+        # (0,0) is an auto entry no cross-only dataset models: stays zero
+        assert np.allclose(cube2[0, 0], 0.0) or (0, 0) in [
+            tuple(m.antpairs[g, b])
+            for m in spec.meta
+            for g in range(m.valid.shape[0])
+            for b in range(m.valid.shape[1])
+            if m.valid[g, b]
+        ]
