@@ -103,6 +103,66 @@ def test_time_parallel_sharded_mixed_precision(projected_multitime):
     assert np.all(np.isfinite(gains.gain_array))
 
 
+def test_multipol_mesh_mixed_precision():
+    """4-pol dataset through the sharded batched path with the mixed
+    precision schedule: 8 (time=2 x pol=4) slices in one descent, every
+    pol converging."""
+    from calamity_tpu import simulate
+
+    uvd = simulate.make_golomb_array(nants=6, nfreqs=64, npols=4, seed=2)
+    uvd2 = uvd.copy()
+    uvd2.time_array = uvd2.time_array + 2.0
+    both = uvd + uvd2
+    mesh = parallel.make_mesh(n_data=2, n_bl=4)
+    model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+        uvdata=both,
+        gains=None,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        maxsteps=800,
+        tol=1e-12,
+        learning_rate=1e-2,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        mesh=mesh,
+        comps_precision="mixed",
+    )
+    assert len(hist) == 4 and all(len(hist[p]) == 2 for p in range(4))
+    for p in range(4):
+        assert RMS(model.data_array[..., p]) >= 50 * RMS(resid.data_array[..., p])
+
+
+def test_comps_precision_float64_data():
+    """bf16 basis storage composes with float64 fits (comps cast bf16, all
+    accumulation in the data dtype)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        from calamity_tpu import simulate
+
+        uvd = simulate.make_golomb_array(nants=6, nfreqs=64, seed=4)
+        model, resid, gains, hist = calibration.calibrate_and_model_dpss(
+            uvdata=uvd,
+            gains=None,
+            min_dly=2.0 / 0.3,
+            offset=2.0 / 0.3,
+            maxsteps=600,
+            tol=1e-12,
+            dtype=np.float64,
+            correct_resid=True,
+            correct_model=True,
+            model_regularization="post_hoc",
+            comps_precision="bfloat16",
+        )
+        assert RMS(model.data_array) >= 50 * RMS(resid.data_array)
+        assert np.isfinite(gains.gain_array).all()
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_time_parallel_sum_regularized(projected_multitime):
     model, resid, gains, hist = calibration.calibrate_and_model_dpss(
         min_dly=2.0 / 0.3,
