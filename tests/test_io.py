@@ -300,6 +300,48 @@ def test_uvflag_h5_weights_through_fit(tmp_path, golomb_visdata):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_uvh5_roundtrip_randomized(tmp_path, seed):
+    """Property test: random array geometry / pol count / time count / uvh5
+    version round-trips byte-exactly through the writer+reader pair."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from calamity_tpu import simulate
+
+    rng = np.random.default_rng(seed)
+    nants = int(rng.integers(3, 8))
+    nfreqs = int(rng.choice([8, 17, 33]))
+    npols = int(rng.choice([1, 2, 4]))
+    ntimes = int(rng.integers(1, 4))
+    version = str(rng.choice(["0.1", "1.0"]))
+    uvd = simulate.make_golomb_array(
+        nants=nants, nfreqs=nfreqs, npols=npols, seed=seed
+    )
+    pieces = [uvd]
+    for t in range(1, ntimes):
+        u2 = uvd.copy()
+        u2.time_array = u2.time_array + float(t)
+        pieces.append(u2)
+    full = pieces[0]
+    for p in pieces[1:]:
+        full = full + p
+    full.flag_array = rng.uniform(size=full.flag_array.shape) < 0.1
+    path = str(tmp_path / f"rt_{seed}.uvh5")
+    full.write_uvh5(path, version=version)
+    back = VisData.from_uvh5(path)
+    np.testing.assert_array_equal(back.ant_1_array, full.ant_1_array)
+    np.testing.assert_array_equal(back.ant_2_array, full.ant_2_array)
+    np.testing.assert_allclose(back.time_array, full.time_array)
+    np.testing.assert_array_equal(
+        back.polarization_array, full.polarization_array
+    )
+    np.testing.assert_array_equal(back.flag_array, full.flag_array)
+    np.testing.assert_allclose(back.data_array, full.data_array)
+    np.testing.assert_allclose(back.uvw_array, full.uvw_array)
+    assert back.Ntimes == ntimes and back.Npols == npols
+
+
 def test_noise_with_flags_fixture(noise_with_flags):
     assert noise_with_flags.flag_array.any()
     assert not noise_with_flags.flag_array.all()
