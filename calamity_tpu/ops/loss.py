@@ -87,6 +87,45 @@ def fg_model(coeffs_r, coeffs_i, comps, precision=jax.lax.Precision.HIGHEST):
     return v[0], v[1]
 
 
+def fg_model_batched(coeffs_r, coeffs_i, comps, precision=jax.lax.Precision.HIGHEST):
+    """Foreground model for a BATCH of (time, pol) slices sharing one basis.
+
+    coeffs: (nbatch, ngrps, nvecs); comps as in fg_model. Returns (vr, vi)
+    each (nbatch, ngrps, nbls, nfreqs).
+
+    ONE contraction reads comps once for ALL slices — batching over slices
+    widens the matvec's right-hand side instead of re-reading the dominant
+    tensor per slice. This also matters for bf16 comps: vmapping the
+    single-slice einsum makes XLA materialize a per-slice f32 upcast of
+    comps (measured 7.37 ms vs 4.89 ms for 2 slices at bench shapes on
+    v5e); the explicit batched einsum keeps the upcast fused into the
+    operand read."""
+    if comps.dtype != coeffs_r.dtype:
+        comps = comps.astype(coeffs_r.dtype)
+    cb = jnp.stack([coeffs_r, coeffs_i], axis=1)  # (nbatch, 2, ngrps, nvecs)
+    ngrps = coeffs_r.shape[1]
+    nu = comps.shape[0]
+    if nu == 1 and ngrps > 1:
+        v = jnp.einsum(
+            "bfv,nkgv->nkgbf", comps[0], cb,
+            preferred_element_type=coeffs_r.dtype, precision=precision,
+        )
+    elif 1 < nu < ngrps:
+        gmax = ngrps // nu
+        c = cb.reshape(cb.shape[0], 2, nu, gmax, cb.shape[-1])
+        v = jnp.einsum(
+            "ubfv,nkugv->nkugbf", comps, c,
+            preferred_element_type=coeffs_r.dtype, precision=precision,
+        )
+        v = v.reshape(cb.shape[0], 2, ngrps, comps.shape[1], comps.shape[2])
+    else:
+        v = jnp.einsum(
+            "gbfv,nkgv->nkgbf", comps, cb,
+            preferred_element_type=coeffs_r.dtype, precision=precision,
+        )
+    return v[:, 0], v[:, 1]
+
+
 def gain_products(g_r, g_i, a0, a1):
     """Real-arithmetic expansion of g_i conj(g_j) per baseline.
 

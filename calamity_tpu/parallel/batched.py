@@ -41,17 +41,35 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
                          use_pallas=False, remat=False):
     """Per-batch-element chi-square, shape (nbatch,).
 
-    ``remat`` checkpoints each chunk's per-slice term (backward recomputes
-    the foreground model instead of saving (nbatch, ngrps, nbls, nfreqs)
+    The per-chunk term is EXPLICITLY batched over slices (not vmapped):
+    one contraction reads the chunk's comps once for the whole batch and,
+    for bf16 comps, keeps the f32 upcast fused into the operand read —
+    vmapping the single-slice loss measured 7.37 ms vs 4.89 ms for 2
+    slices at bench shapes (see ops.loss.fg_model_batched).
+
+    ``remat`` checkpoints each chunk's term (backward recomputes the
+    foreground model instead of saving (nbatch, ngrps, nbls, nfreqs)
     activations). ``use_pallas`` routes conforming chunks through the fused
     kernel (ops.fused), vmapped over the batch axis."""
+    from ..ops.loss import fg_model_batched
 
-    def one_slice(gr, gi, fr, fi, dr, di, w, comps, a0, a1):
-        return mse(*data_model(gr, gi, fr, fi, comps, a0, a1), dr, di, w)
+    def chunk_losses(gr, gi, fr, fi, dr, di, w, comps, a0, a1):
+        # gains: (nbatch, nants, nfreqs); a0/a1: (ngrps, nbls)
+        gr0 = jnp.take(gr, a0, axis=1)  # (nbatch, ngrps, nbls, nfreqs)
+        gr1 = jnp.take(gr, a1, axis=1)
+        gi0 = jnp.take(gi, a0, axis=1)
+        gi1 = jnp.take(gi, a1, axis=1)
+        pr = gr0 * gr1 + gi0 * gi1
+        pi = gr0 * gi1 - gi0 * gr1
+        vr, vi = fg_model_batched(fr, fi, comps)
+        mr = pr * vr + pi * vi
+        mi = -pi * vr + pr * vi
+        return jnp.sum(
+            w * (jnp.square(dr - mr) + jnp.square(di - mi)), axis=(1, 2, 3)
+        )
 
     if remat:
-        one_slice = jax.checkpoint(one_slice)
-    vmapped = jax.vmap(one_slice, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None))
+        chunk_losses = jax.checkpoint(chunk_losses)
     total = 0.0
     for cnum, (comps, a0, a1) in enumerate(chunks):
         if use_pallas:
@@ -73,7 +91,7 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
                     data_r[cnum], data_i[cnum], wgts[cnum],
                 )
                 continue
-        total = total + vmapped(
+        total = total + chunk_losses(
             g_r, g_i, fg_r[cnum], fg_i[cnum], data_r[cnum], data_i[cnum], wgts[cnum],
             comps, a0, a1,
         )

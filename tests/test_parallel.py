@@ -413,3 +413,60 @@ def test_shared_batched_sharded_over_mesh():
         m_mesh.data_array, m_ser.data_array,
         atol=1e-4 * RMS(m_ser.data_array), rtol=0,
     )
+
+
+def test_batched_chunk_losses_match_per_slice():
+    """The explicitly-batched loss equals per-slice chunked_loss for the
+    dense, shared and shared-batched packings (incl. bf16 comps)."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.ops.loss import chunked_loss
+    from calamity_tpu.parallel.batched import batched_chunk_losses
+
+    rng = np.random.default_rng(0)
+    nb, na, F, V = 3, 6, 32, 8
+
+    def mk_chunk(kind):
+        if kind == "dense":
+            ngrps, nu = 5, 5
+            comps = rng.standard_normal((ngrps, 1, F, V)).astype(np.float32)
+        elif kind == "shared":
+            ngrps, nu = 5, 1
+            comps = rng.standard_normal((1, 1, F, V)).astype(np.float32)
+        else:  # shared-batched
+            nu, gmax = 2, 3
+            ngrps = nu * gmax
+            comps = rng.standard_normal((nu, 1, F, V)).astype(np.float32)
+        a0 = rng.integers(0, na, (ngrps, 1)).astype(np.int32)
+        a1 = rng.integers(0, na, (ngrps, 1)).astype(np.int32)
+        d_r = rng.standard_normal((nb, ngrps, 1, F)).astype(np.float32)
+        d_i = rng.standard_normal((nb, ngrps, 1, F)).astype(np.float32)
+        w = np.abs(rng.standard_normal((nb, ngrps, 1, F))).astype(np.float32)
+        fr = rng.standard_normal((nb, ngrps, V)).astype(np.float32)
+        fi = rng.standard_normal((nb, ngrps, V)).astype(np.float32)
+        return (jnp.asarray(comps), jnp.asarray(a0), jnp.asarray(a1)), (
+            jnp.asarray(d_r), jnp.asarray(d_i), jnp.asarray(w),
+            jnp.asarray(fr), jnp.asarray(fi),
+        )
+
+    g_r = jnp.asarray(1 + 0.1 * rng.standard_normal((nb, na, F)), jnp.float32)
+    g_i = jnp.asarray(0.1 * rng.standard_normal((nb, na, F)), jnp.float32)
+    for kind in ("dense", "shared", "shared_batched"):
+        for dtype in (jnp.float32, jnp.bfloat16):
+            chunk, (d_r, d_i, w, fr, fi) = mk_chunk(kind)
+            chunk = (chunk[0].astype(dtype), chunk[1], chunk[2])
+            batched = batched_chunk_losses(
+                g_r, g_i, (fr,), (fi,), (chunk,), (d_r,), (d_i,), (w,)
+            )
+            per_slice = [
+                float(chunked_loss(
+                    g_r[b], g_i[b], (fr[b],), (fi[b],), (chunk,),
+                    (d_r[b],), (d_i[b],), (w[b],),
+                ))
+                for b in range(nb)
+            ]
+            tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+            np.testing.assert_allclose(
+                np.asarray(batched), per_slice, rtol=tol,
+                err_msg=f"{kind} {dtype}",
+            )
