@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..ops.loss import chunked_loss, chunked_loss_sum_regularized, data_model, mse
+from ..ops.loss import chunked_loss, chunked_loss_sum_regularized
 from ..solver.fit import FitConfig
 from ..solver.optimizers import get_optimizer
 
@@ -103,24 +103,34 @@ def batched_chunk_losses_sum_regularized(
 ):
     """Per-batch-element chi-square + "sum" flux prior (reference
     mse_chunked_sum_regularized, calibration.py:1623-1656), one prior pair
-    per batch element. Shape (nbatch,)."""
+    per batch element. Shape (nbatch,).
 
-    def one(gr, gi, fr_all, fi_all, dr_all, di_all, w_all, pr, pi):
-        total = 0.0
-        mr_sum = 0.0
-        mi_sum = 0.0
-        for cnum, (comps, a0, a1) in enumerate(chunks):
-            model_r, model_i = data_model(
-                gr, gi, fr_all[cnum], fi_all[cnum], comps, a0, a1
-            )
-            mr_sum = mr_sum + jnp.sum(model_r * w_all[cnum])
-            mi_sum = mi_sum + jnp.sum(model_i * w_all[cnum])
-            total = total + mse(model_r, model_i, dr_all[cnum], di_all[cnum], w_all[cnum])
-        return total + jnp.square(mr_sum - pr) + jnp.square(mi_sum - pi)
+    Explicitly batched like batched_chunk_losses (one comps read for the
+    whole batch; bf16 upcast stays fused)."""
+    from ..ops.loss import fg_model_batched
 
-    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))(
-        g_r, g_i, fg_r, fg_i, data_r, data_i, wgts, prior_r, prior_i
-    )
+    total = 0.0
+    mr_sum = 0.0
+    mi_sum = 0.0
+    for cnum, (comps, a0, a1) in enumerate(chunks):
+        gr0 = jnp.take(g_r, a0, axis=1)
+        gr1 = jnp.take(g_r, a1, axis=1)
+        gi0 = jnp.take(g_i, a0, axis=1)
+        gi1 = jnp.take(g_i, a1, axis=1)
+        pr = gr0 * gr1 + gi0 * gi1
+        pi = gr0 * gi1 - gi0 * gr1
+        vr, vi = fg_model_batched(fg_r[cnum], fg_i[cnum], comps)
+        model_r = pr * vr + pi * vi
+        model_i = -pi * vr + pr * vi
+        w = wgts[cnum]
+        mr_sum = mr_sum + jnp.sum(model_r * w, axis=(1, 2, 3))
+        mi_sum = mi_sum + jnp.sum(model_i * w, axis=(1, 2, 3))
+        total = total + jnp.sum(
+            w * (jnp.square(data_r[cnum] - model_r)
+                 + jnp.square(data_i[cnum] - model_i)),
+            axis=(1, 2, 3),
+        )
+    return total + jnp.square(mr_sum - prior_r) + jnp.square(mi_sum - prior_i)
 
 
 @partial(jax.jit, static_argnums=(0,))
