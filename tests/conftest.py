@@ -14,9 +14,17 @@ import os
 # at the jax-config level before any backend is initialized so unit tests
 # run on the local virtual-device CPU backend
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the sharding tests REQUIRE exactly 8 virtual devices: rewrite any
+# preexisting device-count flag rather than keeping a foreign value (a
+# shell tuned for another project would otherwise fail every mesh test
+# with an opaque device-count error)
+import re as _re  # noqa: E402
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", _flags)
+os.environ["XLA_FLAGS"] = (
+    _flags.strip() + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

@@ -7,7 +7,7 @@ import pytest
 
 from calamity_tpu import calibration, models
 from calamity_tpu.solver import checkpoint as ckpt_mod
-from tests.test_calibration import RMS, project_onto_dpss
+from test_calibration import RMS, project_onto_dpss
 
 
 @pytest.fixture()

@@ -18,8 +18,8 @@ def input_file(tmp_path, redundant_visdata):
     return path
 
 
-def test_dpss_fit_argparser_defaults():
-    sys.argv = [sys.argv[0], "--input_data_files", "input.uvh5"]
+def test_dpss_fit_argparser_defaults(monkeypatch):
+    monkeypatch.setattr(sys, "argv", [sys.argv[0], "--input_data_files", "input.uvh5"])
     ap = calibration.dpss_fit_argparser()
     args = ap.parse_args()
     assert args.learning_rate == 1e-2
@@ -30,7 +30,8 @@ def test_dpss_fit_argparser_defaults():
     assert args.model_regularization == "post_hoc"
 
 
-def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata):
+def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata,
+                                       monkeypatch):
     tmp = str(tmp_path)
     outfile_resid = os.path.join(tmp, "resid_fit.uvh5")
     outfile_model = os.path.join(tmp, "model_fit.uvh5")
@@ -64,7 +65,7 @@ def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata):
 
     # argparser round trip driving the same files, with precision 64 and
     # autocorrelation weights (reference test_calibration.py:908-934)
-    sys.argv = [
+    monkeypatch.setattr(sys, "argv", [
         sys.argv[0],
         "--input_data_files", input_file,
         "--input_model_files", input_file,
@@ -76,7 +77,7 @@ def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata):
         "--use_autocorrs_in_weights",
         "--maxsteps", "100",
         "--clobber",
-    ]
+    ])
     ap = calibration.dpss_fit_argparser()
     args = ap.parse_args()
     _, _, _, fit_info = calibration.read_calibrate_and_model_dpss(**vars(args))
@@ -85,7 +86,7 @@ def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata):
         assert os.path.exists(fn)
 
 
-def test_weights_file_cli(tmp_path, input_file, redundant_visdata):
+def test_weights_file_cli(tmp_path, input_file, redundant_visdata, monkeypatch):
     """--weights_file loads a UVFlag HDF5 weights object into the fit and
     matches passing the same object in memory."""
     from calamity_tpu.io import FlagWeights
@@ -116,8 +117,8 @@ def test_weights_file_cli(tmp_path, input_file, redundant_visdata):
     )
     np.testing.assert_allclose(g1.gain_array, g3.gain_array)
     # flag parses
-    sys.argv = [sys.argv[0], "--input_data_files", input_file,
-                "--weights_file", wpath]
+    monkeypatch.setattr(sys, "argv", [sys.argv[0], "--input_data_files", input_file,
+                                      "--weights_file", wpath])
     args = calibration.dpss_fit_argparser().parse_args()
     assert args.weights_file == wpath
     # mutual exclusion with autocorr weights
@@ -220,19 +221,20 @@ def test_multi_file_concat(tmp_path, golomb_visdata):
         offset=2.0 / 0.3,
     )
     assert model.Ntimes == 2
-    assert len(info["fit_history"][0]) == 2 if "fit_history" in info else True
+    assert len(info[0]) == 2  # both times fitted
 
 
-def test_no_correct_model_flag_reachable():
+def test_no_correct_model_flag_reachable(monkeypatch):
     """--no-correct_model must actually reach the driver (VERDICT r1 #10):
     with gains perturbed, an uncorrected model differs from the corrected
     one by the gain corruption."""
-    sys.argv = [sys.argv[0], "--input_data_files", "x.uvh5", "--no-correct_model",
-                "--no-correct_resid"]
+    monkeypatch.setattr(sys, "argv", [sys.argv[0], "--input_data_files", "x.uvh5",
+                                      "--no-correct_model", "--no-correct_resid"])
     args = calibration.dpss_fit_argparser().parse_args()
     assert args.correct_model is False
     assert args.correct_resid is False
-    sys.argv = [sys.argv[0], "--input_data_files", "x.uvh5", "--nsamples_in_weights"]
+    monkeypatch.setattr(sys, "argv", [sys.argv[0], "--input_data_files", "x.uvh5",
+                                      "--nsamples_in_weights"])
     args = calibration.dpss_fit_argparser().parse_args()
     assert args.correct_model is True  # default preserved
     assert args.nsamples_in_weights is True

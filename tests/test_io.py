@@ -644,11 +644,9 @@ def test_calfits_rejects_irregular_axes(tmp_path, golomb_visdata):
     u2.time_array = u2.time_array + 0.1
     u3 = golomb_visdata.copy()
     u3.time_array = u3.time_array + 0.25  # irregular spacing
-    cal3 = CalData.blank_from_visdata(golomb_visdata)
     big = (cal + CalData.blank_from_visdata(u2)) + CalData.blank_from_visdata(u3)
     with pytest.raises(ValueError, match="uniformly spaced"):
         big.write_calfits(os.path.join(str(tmp_path), "bad.calfits"))
-    del cal3
 
 
 def test_calfits_ant_padding(tmp_path, golomb_visdata):

@@ -152,10 +152,6 @@ def test_overlap_grouping(golomb_visdata):
         lens = sorted(np.linalg.norm(v) for v in vcs)
         for l0, l1 in zip(lens[:-1], lens[1:]):
             assert fmin * l1 < fmax * l0 * (1.0 + 1e-9)
-    # short baselines (ratio > fmax/fmin apart from everything) are singletons
-    lengths = sorted(
-        np.linalg.norm(v) for vcs in vec_centers for v in np.atleast_2d(vcs)
-    )
     assert len(fitting_grps) < 15  # some merging must occur for a dense ruler
 
 

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from calamity_tpu import cal_utils, calibration, models, parallel
-from tests.test_calibration import RMS, project_onto_dpss
+from test_calibration import RMS, project_onto_dpss
 
 
 @pytest.fixture()
@@ -139,6 +139,7 @@ def test_comps_precision_float64_data():
     accumulation in the data dtype)."""
     import jax
 
+    prev_x64 = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         from calamity_tpu import simulate
@@ -160,7 +161,9 @@ def test_comps_precision_float64_data():
         assert RMS(model.data_array) >= 50 * RMS(resid.data_array)
         assert np.isfinite(gains.gain_array).all()
     finally:
-        jax.config.update("jax_enable_x64", False)
+        # restore the PRIOR value — conftest enables x64 session-wide;
+        # forcing False here would silently downcast every later f64 test
+        jax.config.update("jax_enable_x64", prev_x64)
 
 
 def test_time_parallel_sum_regularized(projected_multitime):
@@ -257,13 +260,13 @@ def test_per_slice_convergence_freeze():
     chunks = ((comps, a0, a1),)
     true_fg = rng.standard_normal((2, ngrps, nvecs))
     vis = np.einsum("bgv,gxfv->bgxf", true_fg, np.asarray(comps))
-    data_r = (jnp.asarray(vis),)
-    data_i = (jnp.asarray(np.zeros_like(vis)),)
-    wgts = (jnp.full_like(jnp.asarray(vis), 1.0 / vis.size),)
-    # slice 0 starts AT the exact solution (converges immediately);
-    # slice 1 starts far away (keeps stepping)
-    fg0 = np.stack([true_fg[0], true_fg[0] + 5.0])
+    # BOTH slices target vis[0]; slice 0's coefficients start AT the exact
+    # solution (converges immediately), slice 1's start far away (keeps
+    # stepping)
     data_r = (jnp.asarray(np.stack([vis[0], vis[0]])),)
+    data_i = (jnp.asarray(np.zeros_like(np.stack([vis[0], vis[0]]))),)
+    wgts = (jnp.full((2,) + vis[0].shape, 1.0 / vis[0].size),)
+    fg0 = np.stack([true_fg[0], true_fg[0] + 5.0])
     g_r = jnp.ones((2, nants, nfreqs))
     g_i = jnp.zeros((2, nants, nfreqs))
     cfg = FitConfig(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),

@@ -31,17 +31,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF_DATA), reason="reference fixtures not available"
 )
 
-RMS = lambda x: np.sqrt(np.mean(np.abs(x) ** 2))
-
-
-def _project(uvd, comps):
-    for key, mat in comps.items():
-        ap = key[0][0]
-        d = uvd.get_data(ap + ("xx",))
-        proj = (mat @ (d @ mat).T).T
-        rows, conj = uvd._bl_time_rows(ap[0], ap[1])
-        uvd.data_array[rows, 0, :, 0] = np.conj(proj) if conj else proj
-    return uvd
+from test_calibration import RMS, project_onto_dpss as _project  # noqa: E402
 
 
 @pytest.fixture()
