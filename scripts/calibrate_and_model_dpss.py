@@ -1,9 +1,21 @@
 #!/usr/bin/env python
-# CLI entry for DPSS calibration and foreground modeling
-# (reference parity: scripts/calibrate_and_model_dpss.py).
+"""Shell entry point: DPSS-basis calibration + foreground modeling.
 
-from calamity_tpu import calibration
+Argument-compatible with the reference's script of the same name; parses
+the layered dpss_fit_argparser and hands the namespace to the file-level
+driver. The installed console script (``calamity_tpu.cli``) does the same.
+"""
 
-ap = calibration.dpss_fit_argparser()
-args = ap.parse_args()
-calibration.read_calibrate_and_model_dpss(**vars(args))
+
+def main():
+    from calamity_tpu.calibration import (
+        dpss_fit_argparser,
+        read_calibrate_and_model_dpss,
+    )
+
+    args = dpss_fit_argparser().parse_args()
+    read_calibrate_and_model_dpss(**vars(args))
+
+
+if __name__ == "__main__":
+    main()
