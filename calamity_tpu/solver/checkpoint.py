@@ -53,45 +53,53 @@ def save_checkpoint(path, ckpt: FitCheckpoint):
     """Persist a FitCheckpoint: orbax (the TPU-native checkpoint library)
     when importable, numpy+pickle otherwise.
 
-    Overwrites an existing checkpoint at ``path`` (a rerun into an existing
-    checkpoint_dir lands on the same step paths; orbax refuses to overwrite
-    by default, and swallowing that error would leave the STALE checkpoint
-    preferred by load_checkpoint while the fresh state went to the numpy
-    fallback beside it — the fit would silently resume from old-run state)."""
-    target = os.path.abspath(os.path.join(path, "orbax"))
-    if os.path.isdir(target):
-        import shutil
+    Overwrites an existing checkpoint at ``path`` atomically: the state is
+    written to a ``.tmp`` sibling first and os.rename'd over the final
+    name only after a complete save. A crash mid-save therefore never
+    leaves a present-but-unloadable step directory for latest_checkpoint
+    to prefer (a rerun into an existing checkpoint_dir lands on the same
+    step paths, and resuming from a half-written one would either raise or
+    silently restore old-run state)."""
+    import shutil
 
-        shutil.rmtree(target)
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
     try:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(target, _orbax_state(ckpt))
+        ckptr.save(os.path.join(tmp, "orbax"), _orbax_state(ckpt))
         ckptr.wait_until_finished()
-        return
     except ImportError:
-        pass
-    os.makedirs(path, exist_ok=True)
-    state = {
-        "params": ckpt.params,
-        "opt_state": ckpt.opt_state,
-        "best_params": ckpt.best_params,
-    }
-    scalars = {
-        "step": int(ckpt.step),
-        "prev_loss": float(ckpt.prev_loss),
-        "best_loss": float(ckpt.best_loss),
-        "history": np.asarray(ckpt.history, dtype=np.float64),
-    }
-    leaves, treedef = _leaf_paths(state)
-    np.savez(
-        os.path.join(path, "state.npz"),
-        **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
-        **scalars,
-    )
-    with open(os.path.join(path, "treedef.pkl"), "wb") as f:
-        pickle.dump(treedef, f)
+        os.makedirs(tmp, exist_ok=True)
+        state = {
+            "params": ckpt.params,
+            "opt_state": ckpt.opt_state,
+            "best_params": ckpt.best_params,
+        }
+        scalars = {
+            "step": int(ckpt.step),
+            "prev_loss": float(ckpt.prev_loss),
+            "best_loss": float(ckpt.best_loss),
+            "history": np.asarray(ckpt.history, dtype=np.float64),
+        }
+        leaves, treedef = _leaf_paths(state)
+        np.savez(
+            os.path.join(tmp, "state.npz"),
+            **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+            **scalars,
+        )
+        with open(os.path.join(tmp, "treedef.pkl"), "wb") as f:
+            pickle.dump(treedef, f)
+    # tmp now holds a complete checkpoint; swap it in. The only non-atomic
+    # window (old removed, new still at .tmp) degrades to resuming from the
+    # previous step — latest_checkpoint never sees a partial save because
+    # "step_N.tmp" fails its int() parse.
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
 
 
 def load_checkpoint(path, like: FitCheckpoint) -> FitCheckpoint:
@@ -167,8 +175,19 @@ def load_checkpoint(path, like: FitCheckpoint) -> FitCheckpoint:
     )
 
 
+def _checkpoint_loadable(path):
+    """True when ``path`` contains a complete save (orbax dir or npz pair)."""
+    if os.path.isfile(os.path.join(path, "state.npz")) and os.path.isfile(
+        os.path.join(path, "treedef.pkl")
+    ):
+        return True
+    return os.path.isdir(os.path.join(path, "orbax"))
+
+
 def latest_checkpoint(directory):
-    """Path of the highest-step checkpoint under ``directory``, or None."""
+    """Path of the highest-step LOADABLE checkpoint under ``directory``, or
+    None. Incomplete step dirs (e.g. from a crash predating the atomic-save
+    scheme) are skipped rather than returned and failed on."""
     if not os.path.isdir(directory):
         return None
     steps = []
@@ -178,6 +197,8 @@ def latest_checkpoint(directory):
                 steps.append((int(name.split("_", 1)[1]), name))
             except ValueError:
                 continue
-    if not steps:
-        return None
-    return os.path.join(directory, max(steps)[1])
+    for _, name in sorted(steps, reverse=True):
+        path = os.path.join(directory, name)
+        if _checkpoint_loadable(path):
+            return path
+    return None

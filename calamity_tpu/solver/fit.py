@@ -405,6 +405,7 @@ def fit_gains_and_foregrounds(
         # files only carry one phase's state)
         ck1 = os.path.join(checkpoint_dir, "phase_bf16")
         ck2 = os.path.join(checkpoint_dir, "phase_f32")
+        phase1_meta = os.path.join(checkpoint_dir, "phase1_history.npz")
         skip1 = False
         if resume:
             # phase 2 already under way from a previous run: phase-1 output
@@ -413,14 +414,26 @@ def fit_gains_and_foregrounds(
 
             skip1 = latest_checkpoint(ck2) is not None
         if skip1:
-            n1 = 0
-            hist1 = np.zeros((0,), dtype=np.float64)
+            # restore the bf16-phase diagnostics persisted below so a
+            # resumed run reports the same phase_steps / loss history as an
+            # uninterrupted one
+            if os.path.isfile(phase1_meta):
+                meta = np.load(phase1_meta)
+                n1 = int(meta["nsteps"])
+                hist1 = np.asarray(meta["history"], dtype=np.float64)
+            else:
+                n1 = 0
+                hist1 = np.zeros((0,), dtype=np.float64)
             gr1, gi1, fr1, fi1 = g_r, g_i, fg_r, fg_i
         else:
             res1 = run(chunks_lo, g_r, g_i, fg_r, fg_i, ck1)
             n1 = int(res1.nsteps)
             hist1 = np.asarray(res1.loss_history[:n1], dtype=np.float64)
             gr1, gi1, fr1, fi1 = res1.g_r, res1.g_i, res1.fg_r, res1.fg_i
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = os.path.join(checkpoint_dir, "phase1_history.tmp.npz")
+            np.savez(tmp, nsteps=n1, history=hist1)
+            os.replace(tmp, phase1_meta)
             echo(
                 f"{datetime.datetime.now()} bf16 phase converged after {n1} "
                 f"steps; polishing in float32...",

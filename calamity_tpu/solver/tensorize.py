@@ -388,7 +388,20 @@ class FitSpec:
         wrows_chunks = None
         if weights is not None:
             wpolnum = polstr2num(polarization, x_orientation=weights.x_orientation)
-            wpind = int(np.nonzero(weights.polarization_array == wpolnum)[0][0])
+            wmatch = np.nonzero(weights.polarization_array == wpolnum)[0]
+            if len(wmatch) == 0:
+                from ..io.polarizations import polnum2str
+
+                avail = [
+                    polnum2str(int(p), x_orientation=weights.x_orientation)
+                    for p in weights.polarization_array
+                ]
+                raise ValueError(
+                    f"weights object has no polarization {polarization!r} "
+                    f"(available: {avail}); check the weights file passed "
+                    "via weights/--weights_file"
+                )
+            wpind = int(wmatch[0])
             wpind_c = self._conj_pol_ind(weights, wpolnum)
             wrows_chunks = self._weights_rows(weights)
 

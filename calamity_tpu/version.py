@@ -69,7 +69,8 @@ def probe_git_state(path=_PKG_DIR):
         if top.returncode != 0:
             return state
         toplevel = os.path.realpath(top.stdout.strip())
-        if not os.path.realpath(path).startswith(toplevel + os.sep):
+        realpath = os.path.realpath(path)
+        if realpath != toplevel and not realpath.startswith(toplevel + os.sep):
             return state  # enclosing repo is not this package's checkout
         head = run("log", "-1", "--format=%H")
         if head.returncode != 0:

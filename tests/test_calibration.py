@@ -282,6 +282,20 @@ def test_weighted_pack_uses_cached_row_table(sky_model_projected, dpss_vectors, 
     assert spec._wrows_cache[0] is w2
 
 
+def test_pack_data_missing_weights_pol_raises(
+    sky_model_projected, dpss_vectors, gains, weights
+):
+    """A weights object lacking the fitted polarization names it in the
+    error instead of a bare IndexError (ADVICE r2; user-reachable via
+    --weights_file)."""
+    ants_map = {int(a): i for i, a in enumerate(gains.ant_array)}
+    spec = FitSpec(sky_model_projected, dpss_vectors, ants_map, dtype=np.float64)
+    w = weights.copy()
+    w.polarization_array = np.asarray([-6])  # yy only; fit asks for xx
+    with pytest.raises(ValueError, match="no polarization 'xx'"):
+        spec.pack_data(sky_model_projected, "xx", spec.times[0], weights=w)
+
+
 # --------------------------------------------------------------------- #
 # integration: convergence-ratio tests
 # --------------------------------------------------------------------- #

@@ -142,8 +142,36 @@ def test_checkpointed_mixed_precision_phases(tmp_path, projected):
         comps_precision="mixed",
     )
     m1, m2_ = hist2[0][0]["phase_steps"]
-    assert m1 == 0  # bf16 phase skipped on resume
+    # bf16 phase is skipped on resume, but its diagnostics are restored
+    # from the persisted phase-1 marker, so the reported history matches
+    # an uninterrupted run's shape (ADVICE r2)
+    assert m1 == 120
     assert m2_ == 170
+    assert len(hist2[0][0]["loss"]) == 120 + 170
+    assert np.allclose(
+        np.asarray(hist2[0][0]["loss"][:120]),
+        np.asarray(hist[0][0]["loss"][:120]),
+        rtol=1e-6,
+    )
+
+
+def test_latest_checkpoint_skips_unloadable_dirs(tmp_path):
+    """A present-but-empty step dir (crash relic) must not shadow an older
+    loadable checkpoint (ADVICE r2: non-atomic save)."""
+    import jax.numpy as jnp
+
+    params = (jnp.zeros((2,)),)
+    ck = ckpt_mod.FitCheckpoint(
+        params=params, opt_state=(jnp.zeros((2,)),), step=50, prev_loss=1.0,
+        best_loss=1.0, best_params=params, history=np.zeros((50,)),
+    )
+    ckpt_mod.save_checkpoint(str(tmp_path / "step_50"), ck)
+    os.makedirs(str(tmp_path / "step_100"))  # half-written: no state inside
+    latest = ckpt_mod.latest_checkpoint(str(tmp_path))
+    assert latest is not None and latest.endswith("step_50")
+    # and a stale .tmp sibling never parses as a step
+    os.makedirs(str(tmp_path / "step_150.tmp"))
+    assert ckpt_mod.latest_checkpoint(str(tmp_path)).endswith("step_50")
 
 
 def test_checkpointed_divergence_terminates(tmp_path, projected):

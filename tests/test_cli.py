@@ -182,6 +182,23 @@ def test_version_info():
     assert "version" in hist
 
 
+def test_probe_git_state_at_repo_toplevel(tmp_path):
+    """A package directory that IS the repo toplevel keeps its git
+    provenance (ADVICE r2: the containment check excluded equality)."""
+    import subprocess
+
+    repo = str(tmp_path / "r")
+    os.makedirs(repo)
+    env = {**os.environ, "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"}
+    subprocess.run(["git", "init", "-q", repo], check=True, env=env)
+    open(os.path.join(repo, "f"), "w").write("x")
+    subprocess.run(["git", "-C", repo, "add", "f"], check=True, env=env)
+    subprocess.run(["git", "-C", repo, "commit", "-q", "-m", "c"], check=True, env=env)
+    state = version.probe_git_state(repo)
+    assert state.commit != ""
+
+
 def test_profiler_output(tmp_path, golomb_visdata):
     """Opt-in profiling writes trace files (reference parity:
     tf.profiler usage, tested at reference test_calibration.py:817-819)."""
