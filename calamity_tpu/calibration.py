@@ -558,6 +558,10 @@ def _calibrate_time_scan(
         use_pallas=bool(use_pallas),
         remat=bool(remat),
     )
+    if use_pallas:
+        from .ops.fused import warn_pallas_fallbacks
+
+        warn_pallas_fallbacks(chunks)
     for polnum, pol in enumerate(uvdata.get_pols()):
         usable = []  # (time_index, time, rms)
         for time_index, time in enumerate(spec.times):
@@ -918,6 +922,11 @@ def _calibrate_time_parallel(
         use_pallas=bool(use_pallas),
         remat=bool(remat),
     )
+    if use_pallas:
+        from .ops.fused import warn_pallas_fallbacks
+
+        warn_pallas_fallbacks(fit_chunks)
+
     def run_batched(chs, gr, gi, fr, fi, opt_state0=None):
         res = batched_fit_core(
             cfg, chs, tuple(data_r_b), tuple(data_i_b), tuple(wgts_b),
@@ -1399,7 +1408,13 @@ def fitting_argparser():
                     help="Batch every (time, pol) fit into one compiled descent "
                          "(sharded over all devices when more than one is present).")
     tp.add_argument("--use_pallas", default=False, action="store_true",
-                    help="Use the fused Pallas forward+loss kernel when shapes allow.")
+                    help="EXPERIMENTAL: use the fused Pallas forward+loss "
+                         "kernel. Only dense per-baseline chunks with "
+                         "128-aligned freq/mode counts qualify; other "
+                         "chunks fall back to the XLA loss with a warning "
+                         "(the default shared_basis packing always falls "
+                         "back). The XLA path is the measured production "
+                         "default — see docs/BF16_COMPS.md.")
     tp.add_argument("--comps_precision", default="float32", type=str,
                     choices=["float32", "bfloat16", "mixed"],
                     help="Basis-tensor storage precision during the descent: "

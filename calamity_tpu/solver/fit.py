@@ -348,6 +348,11 @@ def fit_gains_and_foregrounds(
     data_i = tuple(data_i)
     wgts = tuple(wgts)
 
+    if use_pallas:
+        from ..ops.fused import warn_pallas_fallbacks
+
+        warn_pallas_fallbacks(chunks)
+
     if comps_precision not in ("float32", "bfloat16", "mixed"):
         raise ValueError(
             f"comps_precision must be 'float32', 'bfloat16' or 'mixed', "
