@@ -221,6 +221,7 @@ def calibrate_and_model_tensor(
     comps_precision="float32",
     nvec_bucketing=False,
     shared_basis=True,
+    timings=None,
     **opt_kwargs,
 ):
     """Simultaneous gain calibration and foreground fitting.
@@ -273,6 +274,9 @@ def calibrate_and_model_tensor(
 
     ants_map = {int(ant): i for i, ant in enumerate(gains.ant_array)}
     echo(f"{datetime.datetime.now()} Packing foreground modeling tensors...\n", verbose=verbose)
+    import time as _time
+
+    _t0 = _time.time()
     spec = FitSpec(
         uvdata,
         fg_model_comps_dict,
@@ -284,6 +288,13 @@ def calibrate_and_model_tensor(
         shared_basis=shared_basis,
     )
     chunks = spec.device_chunks()
+    _t_pack = _time.time() - _t0
+    if timings is not None:
+        timings["packing_s"] = _t_pack
+    echo(
+        f"{datetime.datetime.now()} Packed {len(chunks)} chunks in {_t_pack:.2f}s\n",
+        verbose=verbose,
+    )
     del fg_model_comps_dict
 
     if time_parallel:

@@ -145,6 +145,7 @@ def main():
     stage(f"fitting on backend={jax.default_backend()}"
           f" (time_parallel={args.time_parallel})")
     t0 = time.time()
+    timings = {}
     model, resid, gains, info = calibration.calibrate_and_model_dpss(
         uvdata=corrupted,
         gains=None,
@@ -160,6 +161,7 @@ def main():
         remat=True,
         time_parallel=args.time_parallel,
         mesh=mesh,
+        timings=timings,
     )
     t_fit = time.time() - t0
 
@@ -169,6 +171,8 @@ def main():
           f"{args.nfreqs} channels / {len(uniq)} unique spacings ===")
     print(f"sim+proj  : {t_sim:7.1f}s")
     print(f"basis     : {t_basis:7.1f}s")
+    print(f"packing   : {timings.get('packing_s', float('nan')):7.2f}s "
+          "(FitSpec: chunk tensors + row/conj tables)")
     print(f"fit       : {t_fit:7.1f}s ({nsteps} steps, "
           f"{1e3 * t_fit / max(nsteps, 1):.2f} ms/step incl. compile+packing)")
     print(f"loss      : {info[0][0]['loss'][0]:.3e} -> {info[0][0]['loss'][-1]:.3e}")

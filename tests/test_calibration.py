@@ -282,6 +282,28 @@ def test_weighted_pack_uses_cached_row_table(sky_model_projected, dpss_vectors, 
     assert spec._wrows_cache[0] is w2
 
 
+def test_blt_table_lookup_semantics():
+    """BltTable (the vectorized packing lookup) resolves forward /
+    conjugated / missing pairs and irregular time counts like the
+    per-baseline loop it replaced."""
+    from calamity_tpu.solver.tensorize import BltTable
+
+    ant1 = np.asarray([0, 1, 0, 1, 2])
+    ant2 = np.asarray([1, 2, 1, 2, 3])
+    times = np.asarray([2.0, 1.0, 1.0, 2.0, 1.0])  # unsorted within pairs
+    t = BltTable(ant1, ant2, times)
+    sel, conj = t.lookup_pairs(np.asarray([[0, 1], [2, 1], [2, 3]]))
+    assert list(conj) == [False, True, False]
+    rows = t.rows_matrix(sel[:2], 2)  # pairs (0,1) and (1,2): 2 times each
+    # time-sorted within pair: (0,1) has rows 2 (t=1) then 0 (t=2)
+    assert rows[:, 0].tolist() == [2, 0]
+    assert rows[:, 1].tolist() == [1, 3]
+    with pytest.raises(KeyError, match="not present"):
+        t.lookup_pairs(np.asarray([[0, 3]]))
+    with pytest.raises(ValueError, match="irregular"):
+        t.rows_matrix(sel, 2)  # (2,3) occurs once
+
+
 def test_pack_data_missing_weights_pol_raises(
     sky_model_projected, dpss_vectors, gains, weights
 ):
