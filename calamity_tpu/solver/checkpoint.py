@@ -37,29 +37,17 @@ def _leaf_paths(tree):
     return leaves, treedef
 
 
-def _orbax_state(ckpt: FitCheckpoint):
-    return {
-        "params": ckpt.params,
-        "opt_state": ckpt.opt_state,
-        "best_params": ckpt.best_params,
-        "step": np.asarray(int(ckpt.step)),
-        "prev_loss": np.asarray(float(ckpt.prev_loss)),
-        "best_loss": np.asarray(float(ckpt.best_loss)),
-        "history": np.asarray(ckpt.history, dtype=np.float64),
-    }
+def save_state(path, tree_state: dict, scalar_state: dict):
+    """Persist a {name: pytree} dict + a {name: scalar/ndarray} dict.
 
-
-def save_checkpoint(path, ckpt: FitCheckpoint):
-    """Persist a FitCheckpoint: orbax (the TPU-native checkpoint library)
-    when importable, numpy+pickle otherwise.
-
-    Overwrites an existing checkpoint at ``path`` atomically: the state is
-    written to a ``.tmp`` sibling first and os.rename'd over the final
-    name only after a complete save. A crash mid-save therefore never
-    leaves a present-but-unloadable step directory for latest_checkpoint
-    to prefer (a rerun into an existing checkpoint_dir lands on the same
-    step paths, and resuming from a half-written one would either raise or
-    silently restore old-run state)."""
+    Uses orbax (the TPU-native checkpoint library) when importable,
+    numpy+pickle otherwise. Writes atomically: the state goes to a ``.tmp``
+    sibling first and is os.rename'd over the final name only after a
+    complete save, so a crash mid-save never leaves a
+    present-but-unloadable step directory for latest_checkpoint to prefer
+    (a rerun into an existing checkpoint_dir lands on the same step paths,
+    and resuming from a half-written one would either raise or silently
+    restore old-run state)."""
     import shutil
 
     path = os.path.abspath(path)
@@ -70,26 +58,18 @@ def save_checkpoint(path, ckpt: FitCheckpoint):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.join(tmp, "orbax"), _orbax_state(ckpt))
+        ckptr.save(
+            os.path.join(tmp, "orbax"),
+            {**tree_state, **{k: np.asarray(v) for k, v in scalar_state.items()}},
+        )
         ckptr.wait_until_finished()
     except ImportError:
         os.makedirs(tmp, exist_ok=True)
-        state = {
-            "params": ckpt.params,
-            "opt_state": ckpt.opt_state,
-            "best_params": ckpt.best_params,
-        }
-        scalars = {
-            "step": int(ckpt.step),
-            "prev_loss": float(ckpt.prev_loss),
-            "best_loss": float(ckpt.best_loss),
-            "history": np.asarray(ckpt.history, dtype=np.float64),
-        }
-        leaves, treedef = _leaf_paths(state)
+        leaves, treedef = _leaf_paths(tree_state)
         np.savez(
             os.path.join(tmp, "state.npz"),
             **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
-            **scalars,
+            **{k: np.asarray(v) for k, v in scalar_state.items()},
         )
         with open(os.path.join(tmp, "treedef.pkl"), "wb") as f:
             pickle.dump(treedef, f)
@@ -102,30 +82,33 @@ def save_checkpoint(path, ckpt: FitCheckpoint):
     os.rename(tmp, path)
 
 
-def load_checkpoint(path, like: FitCheckpoint) -> FitCheckpoint:
-    """Restore a FitCheckpoint saved by save_checkpoint.
+def load_state(path, like_tree: dict, scalar_names):
+    """Restore a save_state checkpoint.
 
-    ``like`` provides the pytree structure/dtypes to restore into."""
+    ``like_tree`` provides the pytree structure/dtypes for the tree part;
+    ``scalar_names`` lists the scalar/ndarray entries to return (as numpy).
+    Returns (tree_state, scalar_state)."""
+    import jax.numpy as jnp
+
     orbax_path = os.path.abspath(os.path.join(path, "orbax"))
     if os.path.isdir(orbax_path):
         import warnings
 
-        import jax.numpy as jnp
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            # untargeted restore: the history length varies between
-            # checkpoints, so a typed target cannot be provided; structure
-            # is re-validated against ``like`` below
+            # untargeted restore: array shapes (e.g. history length) vary
+            # between checkpoints, so a typed target cannot be provided;
+            # structure is re-validated against ``like_tree`` below
             restored = ckptr.restore(orbax_path)
 
-        def into(like_tree, restored_tree, name):
+        def into(like_sub, restored_sub, name):
             # orbax restores tuples as lists; re-unflatten into the
             # caller's structure and dtypes
-            leaves = jax.tree_util.tree_leaves(restored_tree)
-            like_leaves, treedef = jax.tree_util.tree_flatten(like_tree)
+            leaves = jax.tree_util.tree_leaves(restored_sub)
+            like_leaves, treedef = jax.tree_util.tree_flatten(like_sub)
             if len(leaves) != len(like_leaves):
                 raise ValueError(
                     f"checkpoint {name} does not match the current fit structure"
@@ -136,42 +119,67 @@ def load_checkpoint(path, like: FitCheckpoint) -> FitCheckpoint:
             ]
             return jax.tree_util.tree_unflatten(treedef, leaves)
 
-        return FitCheckpoint(
-            params=into(like.params, restored["params"], "params"),
-            opt_state=into(like.opt_state, restored["opt_state"], "opt_state"),
-            step=int(restored["step"]),
-            prev_loss=float(restored["prev_loss"]),
-            best_loss=float(restored["best_loss"]),
-            best_params=into(like.best_params, restored["best_params"], "best_params"),
-            history=np.asarray(restored["history"], dtype=np.float64),
-        )
+        tree_state = {
+            name: into(like_sub, restored[name], name)
+            for name, like_sub in like_tree.items()
+        }
+        scalar_state = {name: np.asarray(restored[name]) for name in scalar_names}
+        return tree_state, scalar_state
     data = np.load(os.path.join(path, "state.npz"), allow_pickle=False)
     with open(os.path.join(path, "treedef.pkl"), "rb") as f:
         treedef = pickle.load(f)
     n = len([k for k in data.files if k.startswith("leaf_")])
     leaves = [data[f"leaf_{i}"] for i in range(n)]
-    like_state = {
-        "params": like.params,
-        "opt_state": like.opt_state,
-        "best_params": like.best_params,
-    }
-    like_leaves, like_treedef = _leaf_paths(like_state)
+    like_leaves, like_treedef = _leaf_paths(like_tree)
     if like_treedef != treedef:
         raise ValueError("checkpoint structure does not match the current fit")
-    import jax.numpy as jnp
-
     leaves = [
         jnp.asarray(leaf, dtype=ref.dtype) for leaf, ref in zip(leaves, like_leaves)
     ]
-    state = jax.tree_util.tree_unflatten(treedef, leaves)
+    tree_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    scalar_state = {name: np.asarray(data[name]) for name in scalar_names}
+    return tree_state, scalar_state
+
+
+def save_checkpoint(path, ckpt: FitCheckpoint):
+    """Persist a FitCheckpoint (see save_state for atomicity/backends)."""
+    save_state(
+        path,
+        {
+            "params": ckpt.params,
+            "opt_state": ckpt.opt_state,
+            "best_params": ckpt.best_params,
+        },
+        {
+            "step": int(ckpt.step),
+            "prev_loss": float(ckpt.prev_loss),
+            "best_loss": float(ckpt.best_loss),
+            "history": np.asarray(ckpt.history, dtype=np.float64),
+        },
+    )
+
+
+def load_checkpoint(path, like: FitCheckpoint) -> FitCheckpoint:
+    """Restore a FitCheckpoint saved by save_checkpoint.
+
+    ``like`` provides the pytree structure/dtypes to restore into."""
+    tree_state, scalar_state = load_state(
+        path,
+        {
+            "params": like.params,
+            "opt_state": like.opt_state,
+            "best_params": like.best_params,
+        },
+        ("step", "prev_loss", "best_loss", "history"),
+    )
     return FitCheckpoint(
-        params=state["params"],
-        opt_state=state["opt_state"],
-        step=int(data["step"]),
-        prev_loss=float(data["prev_loss"]),
-        best_loss=float(data["best_loss"]),
-        best_params=state["best_params"],
-        history=np.asarray(data["history"], dtype=np.float64),
+        params=tree_state["params"],
+        opt_state=tree_state["opt_state"],
+        step=int(scalar_state["step"]),
+        prev_loss=float(scalar_state["prev_loss"]),
+        best_loss=float(scalar_state["best_loss"]),
+        best_params=tree_state["best_params"],
+        history=np.asarray(scalar_state["history"], dtype=np.float64),
     )
 
 

@@ -174,6 +174,147 @@ def test_latest_checkpoint_skips_unloadable_dirs(tmp_path):
     assert ckpt_mod.latest_checkpoint(str(tmp_path)).endswith("step_50")
 
 
+def _run_batched(uvd, ckdir, maxsteps, resume=True, comps_precision="float32",
+                 mesh=None):
+    return calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=uvd,
+        gains=None,
+        maxsteps=maxsteps,
+        tol=0.0,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        mesh=mesh,
+        checkpoint_dir=ckdir,
+        checkpoint_every=50,
+        resume=resume,
+        comps_precision=comps_precision,
+    )
+
+
+@pytest.fixture()
+def projected_multitime(projected):
+    uvd2 = projected.copy()
+    uvd2.time_array = uvd2.time_array + 2.0
+    return projected + uvd2
+
+
+def test_batched_checkpoint_resume_bitexact_f32(tmp_path, projected_multitime):
+    """Interrupted + resumed batched (time-parallel) descent reproduces the
+    uninterrupted trajectory bit-exactly (VERDICT r2 item 1)."""
+    import jax
+
+    mesh = None
+    ck_a = str(tmp_path / "a")
+    ck_b = str(tmp_path / "b")
+    model_a, resid_a, gains_a, hist_a = _run_batched(
+        projected_multitime, ck_a, maxsteps=120, mesh=mesh
+    )
+    _run_batched(projected_multitime, ck_b, maxsteps=60, mesh=mesh)
+    model_b, resid_b, gains_b, hist_b = _run_batched(
+        projected_multitime, ck_b, maxsteps=120, mesh=mesh
+    )
+    for t in (0, 1):
+        la = np.asarray(hist_a[0][t]["loss"])
+        lb = np.asarray(hist_b[0][t]["loss"])
+        assert len(la) == len(lb) == 120
+        assert np.array_equal(la, lb)  # bit-exact, not just close
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+    assert np.array_equal(model_a.data_array, model_b.data_array)
+    # checkpoints exist under the batched subdirectory
+    assert ckpt_mod.latest_checkpoint(os.path.join(ck_a, "batched")) is not None
+
+
+def test_batched_checkpoint_resume_mixed(tmp_path, projected_multitime):
+    """Mixed-precision batched descent with checkpointing: phase dirs are
+    written, a resume with completed bf16 checkpoints skips phase 1 and
+    restores its diagnostics, and the result matches an uninterrupted
+    mixed run bit-exactly."""
+    ck_a = str(tmp_path / "ma")
+    ck_b = str(tmp_path / "mb")
+    model_a, resid_a, gains_a, hist_a = _run_batched(
+        projected_multitime, ck_a, maxsteps=120, comps_precision="mixed"
+    )
+    base = os.path.join(ck_a, "batched")
+    assert ckpt_mod.latest_checkpoint(os.path.join(base, "phase_bf16")) is not None
+    assert ckpt_mod.latest_checkpoint(os.path.join(base, "phase_f32")) is not None
+    # simulate a kill during phase 2: copy phase-1 state + marker only
+    import shutil
+
+    shutil.copytree(os.path.join(base, "phase_bf16"),
+                    os.path.join(ck_b, "batched", "phase_bf16"))
+    shutil.copy(os.path.join(base, "phase1_history.npz"),
+                os.path.join(ck_b, "batched", "phase1_history.npz"))
+    model_b, resid_b, gains_b, hist_b = _run_batched(
+        projected_multitime, ck_b, maxsteps=120, comps_precision="mixed"
+    )
+    for t in (0, 1):
+        la = np.asarray(hist_a[0][t]["loss"])
+        lb = np.asarray(hist_b[0][t]["loss"])
+        assert len(la) == len(lb) == 240  # both phases recorded
+        assert np.array_equal(la, lb)
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+
+
+def test_batched_checkpoint_resume_sharded(tmp_path, projected_multitime):
+    """Checkpoint/resume of the batched descent under the virtual 8-device
+    mesh: restored state is device_put back onto the mesh and the resumed
+    run completes with finite, converged outputs."""
+    from calamity_tpu import parallel
+
+    mesh = parallel.make_mesh(n_data=2, n_bl=4)
+    ck = str(tmp_path / "sh")
+    _run_batched(projected_multitime, ck, maxsteps=60, mesh=mesh)
+    model, resid, gains, hist = _run_batched(
+        projected_multitime, ck, maxsteps=200, mesh=mesh
+    )
+    assert len(hist[0][0]["loss"]) == 200
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    assert np.all(np.isfinite(gains.gain_array))
+
+
+def test_scan_checkpoint_resume(tmp_path, projected_multitime):
+    """The warm-started time scan checkpoints per completed time; deleting
+    the later time's checkpoint and rerunning resumes from the carry and
+    reproduces the uninterrupted per-time solutions bit-exactly."""
+    import shutil
+
+    def run(ckdir, maxsteps=150):
+        return calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3,
+            offset=2.0 / 0.3,
+            uvdata=projected_multitime,
+            gains=None,
+            maxsteps=maxsteps,
+            tol=0.0,
+            correct_resid=True,
+            correct_model=True,
+            model_regularization="post_hoc",
+            time_parallel=True,
+            init_guesses_from_previous_time_step=True,
+            checkpoint_dir=ckdir,
+            resume=True,
+        )
+
+    ck = str(tmp_path / "scan")
+    model_a, resid_a, gains_a, hist_a = run(ck)
+    scan_dir = os.path.join(ck, "pol0_scan")
+    assert os.path.isdir(os.path.join(scan_dir, "step_1"))
+    assert os.path.isdir(os.path.join(scan_dir, "step_2"))
+    # simulate a kill between time 1 and time 2
+    shutil.rmtree(os.path.join(scan_dir, "step_2"))
+    model_b, resid_b, gains_b, hist_b = run(ck)
+    for t in (0, 1):
+        assert np.array_equal(
+            np.asarray(hist_a[0][t]["loss"]), np.asarray(hist_b[0][t]["loss"])
+        )
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+    assert np.array_equal(model_a.data_array, model_b.data_array)
+
+
 def test_checkpointed_divergence_terminates(tmp_path, projected):
     """A diverging checkpointed fit must terminate instead of rewriting the
     same checkpoint forever (ADVICE r1, high severity)."""
