@@ -78,8 +78,9 @@ def bench_ours(inputs, nsteps, lr=1e-2, use_pallas=False, comps_dtype=None):
 
     ``use_pallas`` routes the forward through the hybrid Pallas kernel
     (ops/fused.py); ``comps_dtype=bfloat16`` benches the bf16 basis-storage
-    mode (docs/BF16_COMPS.md) — the step the comps_precision="mixed"
-    production schedule spends most of its time in."""
+    step — the bulk phase of the DEFAULT comps_precision="mixed" schedule
+    (docs/BF16_COMPS.md), i.e. the step time the shipped default
+    configuration actually delivers."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -218,8 +219,9 @@ def main():
     print("# bench: timing f32 step (round-over-round continuity)",
           file=sys.stderr, flush=True)
     f32_ms, f32_loss = bench_ours(inputs, nsteps)
-    print(f"# bench: f32 {f32_ms:.3f} ms/step; timing production fast step "
-          "(bf16 comps, the mixed-schedule bulk phase)",
+    print(f"# bench: f32 {f32_ms:.3f} ms/step; timing the DEFAULT "
+          "configuration's step (bf16 comps — the bulk phase of the "
+          "default comps_precision='mixed' schedule)",
           file=sys.stderr, flush=True)
     # pure XLA, not the Pallas kernel: the fused forward wins in isolation
     # but the full fwd+bwd step measured at parity-or-behind XLA (f32

@@ -218,7 +218,7 @@ def calibrate_and_model_tensor(
     resume=True,
     use_pallas=False,
     remat=False,
-    comps_precision="float32",
+    comps_precision=None,
     nvec_bucketing=False,
     shared_basis=True,
     timings=None,
@@ -243,7 +243,24 @@ def calibrate_and_model_tensor(
       devices; batch and group axes are zero-padded to mesh multiples.
 
     Returns (model, resid, gains, fit_history).
+
+    ``comps_precision=None`` (the default) resolves to the measured-best
+    schedule for the configuration: "mixed" for float32 fits (bf16 bulk
+    descent + float32 polish with carried optimizer state reaches the full
+    f32 convergence floor at lower total cost — docs/BF16_COMPS.md), and
+    "float32" (native-precision basis storage) for float64 fits and for
+    the warm-started sequential time scan (whose per-time descents are
+    short and would interleave badly with a two-phase precision schedule).
+    Pass an explicit mode to override.
     """
+    if comps_precision is None:
+        if np.dtype(dtype) == np.float64:
+            comps_precision = "float32"
+        elif time_parallel and init_guesses_from_previous_time_step:
+            comps_precision = "float32"
+        else:
+            comps_precision = "mixed"
+
     antpairs_data = uvdata.get_antpairs()
     if not include_autos:
         antpairs_data = [ap for ap in antpairs_data if ap[0] != ap[1]]
@@ -1696,13 +1713,15 @@ def fitting_argparser():
                          "(the default shared_basis packing always falls "
                          "back). The XLA path is the measured production "
                          "default — see docs/BF16_COMPS.md.")
-    tp.add_argument("--comps_precision", default="float32", type=str,
+    tp.add_argument("--comps_precision", default=None, type=str,
                     choices=["float32", "bfloat16", "mixed"],
                     help="Basis-tensor storage precision during the descent: "
                          "bfloat16 halves the dominant HBM traffic (~1.7x "
                          "faster steps, bf16 convergence floor); mixed "
                          "descends in bf16 then polishes in float32 "
-                         "(full floor, most of the speed).")
+                         "(full floor, most of the speed). Default: mixed "
+                         "for 32-bit fits, float32 under --precision 64 "
+                         "and on the warm-started time scan.")
     tp.add_argument("--checkpoint_dir", default=None, type=str,
                     help="Directory for mid-fit checkpoints (enables resume).")
     tp.add_argument("--checkpoint_every", default=1000, type=int,

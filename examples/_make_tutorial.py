@@ -190,11 +190,13 @@ print("EoR window preserved.")""")
 md("""## 6. Faster descents: bfloat16 basis storage
 
 On TPU the descent step is bound by streaming the DPSS basis tensors
-from HBM. `comps_precision="mixed"` runs the bulk of the descent against
-a bfloat16 copy of the basis (~1.7x faster steps at array scale) and
-then polishes in float32 — carrying the optimizer state across the
-switch — so the final residual floor is identical to a pure-float32 fit.
-See `docs/BF16_COMPS.md` for the measured numbers.""")
+from HBM. The DEFAULT `comps_precision="mixed"` schedule runs the bulk of
+the descent against a bfloat16 copy of the basis (~1.7x faster steps at
+array scale) and then polishes in float32 — carrying the optimizer state
+across the switch — so the final residual floor is identical to a
+pure-float32 fit. Here we spell the flag out explicitly (it is what you
+get by default on 32-bit fits); pass `comps_precision="float32"` to opt
+out. See `docs/BF16_COMPS.md` for the measured numbers.""")
 
 code("""model_m, resid_m, gains_m, hist_m = calibration.calibrate_and_model_dpss(
     uvdata=uvd_corrupt,

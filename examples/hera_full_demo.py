@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--maxsteps", type=int, default=2000)
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
-    ap.add_argument("--comps_precision", default="float32",
+    ap.add_argument("--comps_precision", default=None,
                     choices=["float32", "bfloat16", "mixed"],
                     help="basis storage precision for the descent "
                          "(docs/BF16_COMPS.md)")
@@ -48,6 +48,9 @@ def main():
                     help="'auto' or 'N_DATA,N_BL': shard the fit over a "
                          "('data','bl') jax.sharding.Mesh")
     ap.add_argument("--ntimes", type=int, default=1)
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="mid-fit checkpoint/resume directory (endurance runs)")
+    ap.add_argument("--checkpoint_every", type=int, default=1000)
     args = ap.parse_args()
 
     import os
@@ -162,8 +165,23 @@ def main():
         time_parallel=args.time_parallel,
         mesh=mesh,
         timings=timings,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
     )
     t_fit = time.time() - t0
+
+    # device memory headroom (TPU reports HBM; CPU backends may not)
+    mem_line = ""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            used = stats["bytes_in_use"] / 2**30
+            lim = stats.get("bytes_limit", 0) / 2**30
+            mem_line = f"device mem : {used:6.2f} GiB in use" + (
+                f" of {lim:.2f} GiB" if lim else ""
+            )
+    except Exception:
+        pass
 
     rms = lambda x: np.sqrt(np.mean(np.abs(x) ** 2))
     nsteps = len(info[0][0]["loss"])
@@ -178,6 +196,8 @@ def main():
     print(f"loss      : {info[0][0]['loss'][0]:.3e} -> {info[0][0]['loss'][-1]:.3e}")
     print(f"model/resid: {rms(model.data_array) / rms(resid.data_array):.1f}x")
     print(f"data/resid : {rms(corrupted.data_array) / rms(resid.data_array):.1f}x")
+    if mem_line:
+        print(mem_line)
 
 
 if __name__ == "__main__":

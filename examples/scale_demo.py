@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--maxsteps", type=int, default=5000)
     ap.add_argument("--tol", type=float, default=1e-11)
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
-    ap.add_argument("--comps_precision", default="float32",
+    ap.add_argument("--comps_precision", default=None,
                     choices=["float32", "bfloat16", "mixed"],
                     help="basis storage precision for the descent "
                          "(docs/BF16_COMPS.md)")

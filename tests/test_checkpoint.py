@@ -18,6 +18,9 @@ def projected(golomb_visdata):
 
 
 def _run(uvd, ckdir, maxsteps, resume=True):
+    # comps_precision pinned: these tests target the single-phase
+    # checkpoint machinery (the default "mixed" schedule writes phase
+    # subdirectories, covered by the *_mixed tests below)
     return calibration.calibrate_and_model_dpss(
         min_dly=2.0 / 0.3,
         offset=2.0 / 0.3,
@@ -31,6 +34,7 @@ def _run(uvd, ckdir, maxsteps, resume=True):
         checkpoint_dir=ckdir,
         checkpoint_every=50,
         resume=resume,
+        comps_precision="float32",
     )
 
 
