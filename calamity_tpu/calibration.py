@@ -670,14 +670,18 @@ def _calibrate_time_scan(
         per = {k: [[] for _ in range(nchunks)] for k in ("dr", "di", "w")}
         priors_r, priors_i = [], []
         fg_init = None
+        # host-side extraction (as_numpy): the multi-time stack is built on
+        # the host and uploaded to the device once (see the batched path's
+        # packing note — device-side stacking doubles the cube in HBM)
         for slot, (time_index, time, rms) in enumerate(usable):
             data_r, data_i, wgts = spec.pack_data(
                 uvdata, pol, time, data_scale_factor=rms, weights=weights,
-                nsamples_in_weights=nsamples_in_weights,
+                nsamples_in_weights=nsamples_in_weights, as_numpy=True,
             )
             if sky_model is not None:
                 sky_r, sky_i, _ = spec.pack_data(
-                    sky_model, pol, time, data_scale_factor=rms, weights=weights
+                    sky_model, pol, time, data_scale_factor=rms, weights=weights,
+                    as_numpy=True,
                 )
             else:
                 sky_r, sky_i = data_r, data_i
@@ -692,13 +696,13 @@ def _calibrate_time_scan(
                     # (calibration.py:1210-1242)
                     wmodel = fg_model_all_chunks(fg_init[0], fg_init[1], chunks)
                     wgts = [
-                        (jnp.square(vr) + jnp.square(vi)) * w
+                        (np.square(np.asarray(vr)) + np.square(np.asarray(vi))) * w
                         for (vr, vi), w in zip(wmodel, wgts)
                     ]
-                    wsum = sum(float(jnp.sum(w)) for w in wgts)
-                    wgts = [w / wsum for w in wgts]
-            priors_r.append(sum(float(jnp.sum(sr * w)) for sr, w in zip(sky_r, wgts)))
-            priors_i.append(sum(float(jnp.sum(si * w)) for si, w in zip(sky_i, wgts)))
+                    wsum = sum(float(np.sum(w)) for w in wgts)
+                    wgts = [np.asarray(w / wsum, dtype=spec.dtype) for w in wgts]
+            priors_r.append(sum(float(np.sum(sr * w)) for sr, w in zip(sky_r, wgts)))
+            priors_i.append(sum(float(np.sum(si * w)) for si, w in zip(sky_i, wgts)))
             for cnum in range(nchunks):
                 per["dr"][cnum].append(data_r[cnum])
                 per["di"][cnum].append(data_i[cnum])
@@ -708,16 +712,27 @@ def _calibrate_time_scan(
         g_r0, g_i0 = spec.pack_gains(gains, pol, usable[0][1])
 
         def stack_padded(lists):
-            # stack per-time chunk tensors and pad the group axis to the
-            # mesh multiple chosen by _pad_chunks_for_bl
-            return tuple(
-                _pad_axis(jnp.stack(x), 1, ngrps_pads[cnum])
-                for cnum, x in enumerate(lists)
-            )
+            # HOST stack of per-time chunk tensors, group axis padded to
+            # the mesh multiple chosen by _pad_chunks_for_bl; uploaded to
+            # the device exactly once below
+            out = []
+            for cnum, x in enumerate(lists):
+                arr = np.stack([np.asarray(v) for v in x])
+                tgt = ngrps_pads[cnum]
+                if arr.shape[1] != tgt:
+                    pad = [(0, 0)] * arr.ndim
+                    pad[1] = (0, tgt - arr.shape[1])
+                    arr = np.pad(arr, pad)
+                out.append(arr)
+            return tuple(out)
 
         data_r_s = stack_padded(per["dr"])
         data_i_s = stack_padded(per["di"])
         wgts_s = stack_padded(per["w"])
+        if mesh is None:
+            data_r_s = tuple(jnp.asarray(x) for x in data_r_s)
+            data_i_s = tuple(jnp.asarray(x) for x in data_i_s)
+            wgts_s = tuple(jnp.asarray(x) for x in wgts_s)
         fg0_r = tuple(
             _pad_axis(f, 0, ngrps_pads[cnum]) for cnum, f in enumerate(fg_init[0])
         )
@@ -1031,14 +1046,20 @@ def _calibrate_time_parallel(
                  "data_i": [[] for _ in range(nchunks)],
                  "wgts": [[] for _ in range(nchunks)],
                  "prior_r": [], "prior_i": []}
+    # per-slice extraction stays on the HOST (as_numpy): the batch is
+    # stacked here and uploaded to the device ONCE below — uploading per
+    # slice and stacking on device would transiently hold TWO copies of
+    # the full (nbatch, ngrps, nbls, nfreqs) data cube in HBM, which blows
+    # the single-chip budget at 331 ants x 1536 ch x 8 times
     for polnum, pol, time_index, time, rms in slices:
         data_r, data_i, wgts = spec.pack_data(
             uvdata, pol, time, data_scale_factor=rms, weights=weights,
-            nsamples_in_weights=nsamples_in_weights,
+            nsamples_in_weights=nsamples_in_weights, as_numpy=True,
         )
         if sky_model is not None:
             sky_r, sky_i, _ = spec.pack_data(
-                sky_model, pol, time, data_scale_factor=rms, weights=weights
+                sky_model, pol, time, data_scale_factor=rms, weights=weights,
+                as_numpy=True,
             )
         else:
             sky_r, sky_i = data_r, data_i
@@ -1048,13 +1069,13 @@ def _calibrate_time_parallel(
         if use_model_snr_weights:
             wmodel = fg_model_all_chunks(tuple(fg_r), tuple(fg_i), chunks)
             wgts = [
-                (jnp.square(vr) + jnp.square(vi)) * w
+                (np.square(np.asarray(vr)) + np.square(np.asarray(vi))) * w
                 for (vr, vi), w in zip(wmodel, wgts)
             ]
-            wsum = sum(float(jnp.sum(w)) for w in wgts)
-            wgts = [w / wsum for w in wgts]
-        pr = sum(float(jnp.sum(sr * w)) for sr, w in zip(sky_r, wgts))
-        pi = sum(float(jnp.sum(si * w)) for si, w in zip(sky_i, wgts))
+            wsum = sum(float(np.sum(w)) for w in wgts)
+            wgts = [np.asarray(w / wsum, dtype=spec.dtype) for w in wgts]
+        pr = sum(float(np.sum(sr * w)) for sr, w in zip(sky_r, wgts))
+        pi = sum(float(np.sum(si * w)) for si, w in zip(sky_i, wgts))
         per_slice["g_r"].append(g_r)
         per_slice["g_i"].append(g_i)
         per_slice["prior_r"].append(pr)
@@ -1072,12 +1093,21 @@ def _calibrate_time_parallel(
     nbatch = -(-nbatch_real // n_data) * n_data
 
     def stack(items):
-        out = jnp.stack([jnp.asarray(x) for x in items])
+        # HOST stack (see the packing note above): one contiguous array
+        # per chunk tensor, uploaded exactly once further down
+        out = np.stack([np.asarray(x) for x in items])
         if out.shape[0] < nbatch:
             # zero-weight dummy slices: repeat structure, contribute nothing
-            reps = jnp.repeat(out[-1:], nbatch - out.shape[0], axis=0)
-            out = jnp.concatenate([out, reps], axis=0)
+            reps = np.repeat(out[-1:], nbatch - out.shape[0], axis=0)
+            out = np.concatenate([out, reps], axis=0)
         return out
+
+    def pad_np(arr, axis, target):
+        if arr.shape[axis] == target:
+            return arr
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (0, target - arr.shape[axis])
+        return np.pad(arr, pad)
 
     g_r_b = stack(per_slice["g_r"])
     g_i_b = stack(per_slice["g_i"])
@@ -1093,15 +1123,15 @@ def _calibrate_time_parallel(
     fit_chunks, ngrps_pads = _pad_chunks_for_bl(chunks, n_bl)
     for cnum in range(nchunks):
         ngrps_pad = ngrps_pads[cnum]
-        fg_r_b.append(_pad_axis(stack(per_slice["fg_r"][cnum]), 1, ngrps_pad))
-        fg_i_b.append(_pad_axis(stack(per_slice["fg_i"][cnum]), 1, ngrps_pad))
-        data_r_b.append(_pad_axis(stack(per_slice["data_r"][cnum]), 1, ngrps_pad))
-        data_i_b.append(_pad_axis(stack(per_slice["data_i"][cnum]), 1, ngrps_pad))
-        w = _pad_axis(stack(per_slice["wgts"][cnum]), 1, ngrps_pad)
+        fg_r_b.append(pad_np(stack(per_slice["fg_r"][cnum]), 1, ngrps_pad))
+        fg_i_b.append(pad_np(stack(per_slice["fg_i"][cnum]), 1, ngrps_pad))
+        data_r_b.append(pad_np(stack(per_slice["data_r"][cnum]), 1, ngrps_pad))
+        data_i_b.append(pad_np(stack(per_slice["data_i"][cnum]), 1, ngrps_pad))
+        w = pad_np(stack(per_slice["wgts"][cnum]), 1, ngrps_pad)
         # zero the weights of dummy batch rows so they contribute no loss
         if nbatch > nbatch_real:
-            mask = jnp.arange(nbatch) < nbatch_real
-            w = w * mask[:, None, None, None].astype(w.dtype)
+            w = w.copy()
+            w[nbatch_real:] = 0.0
         wgts_b.append(w)
 
     if mesh is not None:
@@ -1131,7 +1161,17 @@ def _calibrate_time_parallel(
         data_i_b = [jax.device_put(x, sh["data"]) for x in data_i_b]
         wgts_b = [jax.device_put(x, sh["data"]) for x in wgts_b]
     else:
+        # single-device: upload each stacked host array exactly once (jit
+        # would otherwise re-upload numpy args on every fit call — twice
+        # for mixed phases, once per segment when checkpointing)
         fit_chunks = tuple(fit_chunks)
+        g_r_b = jnp.asarray(g_r_b)
+        g_i_b = jnp.asarray(g_i_b)
+        fg_r_b = [jnp.asarray(x) for x in fg_r_b]
+        fg_i_b = [jnp.asarray(x) for x in fg_i_b]
+        data_r_b = [jnp.asarray(x) for x in data_r_b]
+        data_i_b = [jnp.asarray(x) for x in data_i_b]
+        wgts_b = [jnp.asarray(x) for x in wgts_b]
 
     cfg = FitConfig(
         optimizer=optimizer,

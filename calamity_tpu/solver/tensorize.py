@@ -456,12 +456,19 @@ class FitSpec:
         data_scale_factor=1.0,
         weights=None,
         nsamples_in_weights=False,
+        as_numpy=False,
     ):
         """Extract chunked (data_r, data_i, wgts) for one (time, pol).
 
         Semantics parity with reference tensorize_data (calibration.py:
         193-310): conjugation via row orientation, weights =
-        UVFlag.weights x ~flags (x nsamples), normalized to unit total."""
+        UVFlag.weights x ~flags (x nsamples), normalized to unit total.
+
+        ``as_numpy=True`` returns host numpy arrays instead of uploading
+        each slice to the device — the batched multi-time paths stack many
+        slices on the host and upload ONCE (straight onto the mesh
+        sharding); uploading per slice and stacking on device would hold
+        two copies of the whole data cube in HBM."""
         tind = self.time_index(time)
         polnum = polstr2num(polarization, x_orientation=visdata.x_orientation)
         pind = int(np.nonzero(visdata.polarization_array == polnum)[0][0])
@@ -548,6 +555,9 @@ class FitSpec:
             data_r.append(dr)
             data_i.append(di)
             wgts.append(w.astype(self.dtype))
+        if as_numpy:
+            wgts = [np.asarray(w / wgtsum) for w in wgts]
+            return data_r, data_i, wgts
         wgts = [jnp.asarray(w / wgtsum) for w in wgts]
         data_r = [jnp.asarray(d) for d in data_r]
         data_i = [jnp.asarray(d) for d in data_i]
