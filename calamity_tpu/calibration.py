@@ -221,6 +221,7 @@ def calibrate_and_model_tensor(
     comps_precision=None,
     nvec_bucketing=False,
     shared_basis=True,
+    loss_block_ngrps=None,
     timings=None,
     **opt_kwargs,
 ):
@@ -389,6 +390,7 @@ def calibrate_and_model_tensor(
             resume=resume,
             n_profile_steps=n_profile_steps,
             profile_log_dir=profile_log_dir,
+            loss_block_ngrps=loss_block_ngrps,
         )
 
     fit_history = {}
@@ -981,6 +983,7 @@ def _calibrate_time_parallel(
     resume=True,
     n_profile_steps=0,
     profile_log_dir="./logdir",
+    loss_block_ngrps=None,
 ):
     """Batched (time x pol) fitting: every unskipped slice in one descent.
 
@@ -1040,52 +1043,40 @@ def _calibrate_time_parallel(
         verbose=verbose,
     )
 
-    per_slice = {"g_r": [], "g_i": [], "fg_r": [[] for _ in range(nchunks)],
-                 "fg_i": [[] for _ in range(nchunks)],
+    per_slice = {"g_r": [], "g_i": [],
                  "data_r": [[] for _ in range(nchunks)],
                  "data_i": [[] for _ in range(nchunks)],
                  "wgts": [[] for _ in range(nchunks)],
-                 "prior_r": [], "prior_i": []}
+                 "sky_r": [[] for _ in range(nchunks)],
+                 "sky_i": [[] for _ in range(nchunks)]}
     # per-slice extraction stays on the HOST (as_numpy): the batch is
     # stacked here and uploaded to the device ONCE below — uploading per
     # slice and stacking on device would transiently hold TWO copies of
     # the full (nbatch, ngrps, nbls, nfreqs) data cube in HBM, which blows
-    # the single-chip budget at 331 ants x 1536 ch x 8 times
+    # the single-chip budget at 331 ants x 1536 ch x 8 times. Coefficient
+    # warm starts, priors and SNR reweighting run AFTER the single upload,
+    # batched over slices, so no per-slice device round trips remain.
+    have_sky = sky_model is not None
     for polnum, pol, time_index, time, rms in slices:
         data_r, data_i, wgts = spec.pack_data(
             uvdata, pol, time, data_scale_factor=rms, weights=weights,
             nsamples_in_weights=nsamples_in_weights, as_numpy=True,
         )
-        if sky_model is not None:
+        if have_sky:
             sky_r, sky_i, _ = spec.pack_data(
                 sky_model, pol, time, data_scale_factor=rms, weights=weights,
                 as_numpy=True,
             )
-        else:
-            sky_r, sky_i = data_r, data_i
         g_r, g_i = spec.pack_gains(gains, pol, time)
-        fg_r = spec.init_coeffs(sky_r, wgts)
-        fg_i = spec.init_coeffs(sky_i, wgts)
-        if use_model_snr_weights:
-            wmodel = fg_model_all_chunks(tuple(fg_r), tuple(fg_i), chunks)
-            wgts = [
-                (np.square(np.asarray(vr)) + np.square(np.asarray(vi))) * w
-                for (vr, vi), w in zip(wmodel, wgts)
-            ]
-            wsum = sum(float(np.sum(w)) for w in wgts)
-            wgts = [np.asarray(w / wsum, dtype=spec.dtype) for w in wgts]
-        pr = sum(float(np.sum(sr * w)) for sr, w in zip(sky_r, wgts))
-        pi = sum(float(np.sum(si * w)) for si, w in zip(sky_i, wgts))
         per_slice["g_r"].append(g_r)
         per_slice["g_i"].append(g_i)
-        per_slice["prior_r"].append(pr)
-        per_slice["prior_i"].append(pi)
         for cnum in range(nchunks):
-            per_slice["fg_r"][cnum].append(fg_r[cnum])
-            per_slice["fg_i"][cnum].append(fg_i[cnum])
             per_slice["data_r"][cnum].append(data_r[cnum])
             per_slice["data_i"][cnum].append(data_i[cnum])
             per_slice["wgts"][cnum].append(wgts[cnum])
+            if have_sky:
+                per_slice["sky_r"][cnum].append(sky_r[cnum])
+                per_slice["sky_i"][cnum].append(sky_i[cnum])
 
     nbatch_real = len(slices)
     n_data = mesh.shape["data"] if mesh is not None else 1
@@ -1111,20 +1102,10 @@ def _calibrate_time_parallel(
 
     g_r_b = stack(per_slice["g_r"])
     g_i_b = stack(per_slice["g_i"])
-    prior_r_b = jnp.asarray(
-        np.pad(np.asarray(per_slice["prior_r"], dtype=spec.dtype),
-               (0, nbatch - nbatch_real))
-    )
-    prior_i_b = jnp.asarray(
-        np.pad(np.asarray(per_slice["prior_i"], dtype=spec.dtype),
-               (0, nbatch - nbatch_real))
-    )
-    fg_r_b, fg_i_b, data_r_b, data_i_b, wgts_b = [], [], [], [], []
+    data_r_b, data_i_b, wgts_b, sky_r_h, sky_i_h = [], [], [], [], []
     fit_chunks, ngrps_pads = _pad_chunks_for_bl(chunks, n_bl)
     for cnum in range(nchunks):
         ngrps_pad = ngrps_pads[cnum]
-        fg_r_b.append(pad_np(stack(per_slice["fg_r"][cnum]), 1, ngrps_pad))
-        fg_i_b.append(pad_np(stack(per_slice["fg_i"][cnum]), 1, ngrps_pad))
         data_r_b.append(pad_np(stack(per_slice["data_r"][cnum]), 1, ngrps_pad))
         data_i_b.append(pad_np(stack(per_slice["data_i"][cnum]), 1, ngrps_pad))
         w = pad_np(stack(per_slice["wgts"][cnum]), 1, ngrps_pad)
@@ -1133,6 +1114,10 @@ def _calibrate_time_parallel(
             w = w.copy()
             w[nbatch_real:] = 0.0
         wgts_b.append(w)
+        if have_sky:
+            sky_r_h.append(pad_np(stack(per_slice["sky_r"][cnum]), 1, ngrps_pad))
+            sky_i_h.append(pad_np(stack(per_slice["sky_i"][cnum]), 1, ngrps_pad))
+    del per_slice
 
     if mesh is not None:
         from .parallel.mesh import fit_shardings
@@ -1155,11 +1140,15 @@ def _calibrate_time_parallel(
             )
             for (c, a0, a1) in fit_chunks
         )
-        fg_r_b = [jax.device_put(x, sh["coeffs"]) for x in fg_r_b]
-        fg_i_b = [jax.device_put(x, sh["coeffs"]) for x in fg_i_b]
         data_r_b = [jax.device_put(x, sh["data"]) for x in data_r_b]
         data_i_b = [jax.device_put(x, sh["data"]) for x in data_i_b]
         wgts_b = [jax.device_put(x, sh["data"]) for x in wgts_b]
+
+        def put_sky(x):
+            return jax.device_put(x, sh["data"])
+
+        def put_coeffs(x):
+            return jax.device_put(x, sh["coeffs"])
     else:
         # single-device: upload each stacked host array exactly once (jit
         # would otherwise re-upload numpy args on every fit call — twice
@@ -1167,11 +1156,61 @@ def _calibrate_time_parallel(
         fit_chunks = tuple(fit_chunks)
         g_r_b = jnp.asarray(g_r_b)
         g_i_b = jnp.asarray(g_i_b)
-        fg_r_b = [jnp.asarray(x) for x in fg_r_b]
-        fg_i_b = [jnp.asarray(x) for x in fg_i_b]
         data_r_b = [jnp.asarray(x) for x in data_r_b]
         data_i_b = [jnp.asarray(x) for x in data_i_b]
         wgts_b = [jnp.asarray(x) for x in wgts_b]
+        put_sky = jnp.asarray
+        put_coeffs = lambda x: x
+
+    # ---- device-side warm starts, priors and optional SNR reweighting ----
+    # Batched over ALL slices per chunk, sourced from the already-uploaded
+    # cubes — the previous per-slice init re-uploaded every slice's data
+    # (2x transfer volume, and execution-caching relays can transiently pin
+    # those operand buffers in HBM). The init source is the sky model when
+    # given (uploaded chunk-by-chunk, freed immediately) else the data.
+    from .ops.lstsq import gram_cholesky_chunk, init_coeffs_from_cholesky_batched
+
+    echo(
+        f"{datetime.datetime.now()} Batched least-squares warm starts...\n",
+        verbose=verbose,
+    )
+    fg_r_b, fg_i_b = [], []
+    prior_r_b = jnp.zeros((nbatch,), dtype=spec.dtype)
+    prior_i_b = jnp.zeros((nbatch,), dtype=spec.dtype)
+    wsum_b = jnp.zeros((nbatch,), dtype=spec.dtype)
+    for cnum in range(nchunks):
+        comps_dev = fit_chunks[cnum][0]
+        chol, active = gram_cholesky_chunk(comps_dev)
+        w_dev = wgts_b[cnum]
+        if have_sky:
+            src_r = put_sky(sky_r_h[cnum])
+            src_i = put_sky(sky_i_h[cnum])
+        else:
+            src_r, src_i = data_r_b[cnum], data_i_b[cnum]
+        cr, ci = init_coeffs_from_cholesky_batched(
+            chol, active, comps_dev, src_r, src_i, w_dev
+        )
+        if use_model_snr_weights:
+            from .ops.loss import fg_model_batched
+
+            vr, vi = fg_model_batched(cr, ci, comps_dev)
+            w_dev = (jnp.square(vr) + jnp.square(vi)) * w_dev
+            wgts_b[cnum] = w_dev
+        wsum_b = wsum_b + jnp.sum(w_dev, axis=(1, 2, 3))
+        prior_r_b = prior_r_b + jnp.sum(src_r * w_dev, axis=(1, 2, 3))
+        prior_i_b = prior_i_b + jnp.sum(src_i * w_dev, axis=(1, 2, 3))
+        fg_r_b.append(put_coeffs(cr))
+        fg_i_b.append(put_coeffs(ci))
+        del src_r, src_i
+    if use_model_snr_weights:
+        # renormalize the reweighted batch to unit total per slice
+        # (reference calibration.py:1235-1242); dummy rows keep w = 0
+        denom = jnp.where(wsum_b > 0, wsum_b, 1.0)
+        wgts_b = [w / denom[:, None, None, None] for w in wgts_b]
+        prior_r_b = prior_r_b / denom
+        prior_i_b = prior_i_b / denom
+    if have_sky:
+        del sky_r_h, sky_i_h
 
     cfg = FitConfig(
         optimizer=optimizer,
@@ -1183,6 +1222,7 @@ def _calibrate_time_parallel(
         regularization="sum" if model_regularization == "sum" else None,
         use_pallas=bool(use_pallas),
         remat=bool(remat),
+        loss_block=None if loss_block_ngrps is None else int(loss_block_ngrps),
     )
     if use_pallas:
         from .ops.fused import warn_pallas_fallbacks
@@ -1766,6 +1806,13 @@ def fitting_argparser():
                     help="Directory for mid-fit checkpoints (enables resume).")
     tp.add_argument("--checkpoint_every", default=1000, type=int,
                     help="Steps between mid-fit checkpoints.")
+    tp.add_argument("--loss_block_ngrps", default=None, type=int,
+                    help="Evaluate the batched (time_parallel) loss as a "
+                         "scan over group blocks of this size. Bounds the "
+                         "activation HBM peak for many-poltime full-array "
+                         "fits (the step's transients, ~8-10x one "
+                         "(nbatch, block, nfreqs) tensor, dominate over "
+                         "the data cube at scale).")
     return ap
 
 

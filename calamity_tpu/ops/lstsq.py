@@ -94,6 +94,25 @@ def init_coeffs_from_cholesky(chol, active, comps, data, wgts):
     return coeffs * active
 
 
+@jax.jit
+def init_coeffs_from_cholesky_batched(chol, active, comps, data_r, data_i, wgts):
+    """Warm-start coefficients for a whole (time, pol) slice batch at once.
+
+    data_r/data_i/wgts: (nbatch, ngrps, nbls, nfreqs) — typically the
+    already-uploaded stacked fit tensors, so the init adds ZERO extra
+    host->device transfers (the per-slice init path re-uploads each
+    slice's cube, which at 331 ants x 1536 ch x many times both doubles
+    transfer volume and, through execution-caching relays, can pin
+    transient operand buffers in HBM). Returns
+    (coeffs_r, coeffs_i), each (nbatch, ngrps, nvecs)."""
+    return jax.vmap(
+        lambda dr, di, w: (
+            init_coeffs_from_cholesky(chol, active, comps, dr, w),
+            init_coeffs_from_cholesky(chol, active, comps, di, w),
+        )
+    )(data_r, data_i, wgts)
+
+
 @partial(jax.jit, static_argnames=("ridge",))
 def init_coeffs_chunk(comps, data, wgts, ridge=1e-6):
     """Least-squares coefficients for one chunk.

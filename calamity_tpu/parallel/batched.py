@@ -38,8 +38,69 @@ from ..solver.fit import FitConfig
 from ..solver.optimizers import get_optimizer
 
 
+def _loss_block_size(ngrps, gmax, requested):
+    """Largest group-block <= ``requested`` that divides ngrps and is a
+    multiple of gmax (shared-BATCHED chunks must split on operator-class
+    boundaries so the (ngrps -> U, gmax) reshape stays block-local).
+    Returns None when blocking is off or would not split the chunk."""
+    if requested is None or requested >= ngrps:
+        return None
+    b = max(gmax, (int(requested) // gmax) * gmax)
+    while ngrps % b:
+        b -= gmax
+    return b if b < ngrps else None
+
+
+def _blocked_chunk_losses(chunk_losses, gr, gi, fr, fi, dr, di, w, comps, a0, a1,
+                          blk):
+    """Evaluate one chunk's per-slice losses as a lax.scan over group
+    blocks of size ``blk``, rematerializing each block on the backward
+    pass.
+
+    The step's HBM peak is NOT the data cube but the ~8-10 cube-sized
+    activation transients of the loss (gain products, foreground model,
+    errors and their cotangents) — at 331 ants x 8 poltimes they exceed a
+    v5e chip even though the data fits (measured: the 8x1536 warm-up
+    program wanted 19.9 GiB of 15.75). Blocking bounds the live set to
+    (nbatch, blk, nbls, nfreqs)-sized tensors while the matmuls stay large
+    enough to run at full MXU/HBM efficiency."""
+    ngrps = a0.shape[0]
+    nblk = ngrps // blk
+    nu = comps.shape[0]
+    blocked = jax.checkpoint(chunk_losses)
+
+    def body(tot, i):
+        g0 = i * blk
+        a0_b = jax.lax.dynamic_slice_in_dim(a0, g0, blk, axis=0)
+        a1_b = jax.lax.dynamic_slice_in_dim(a1, g0, blk, axis=0)
+        fr_b = jax.lax.dynamic_slice_in_dim(fr, g0, blk, axis=1)
+        fi_b = jax.lax.dynamic_slice_in_dim(fi, g0, blk, axis=1)
+        dr_b = jax.lax.dynamic_slice_in_dim(dr, g0, blk, axis=1)
+        di_b = jax.lax.dynamic_slice_in_dim(di, g0, blk, axis=1)
+        w_b = jax.lax.dynamic_slice_in_dim(w, g0, blk, axis=1)
+        if nu == 1:
+            comps_b = comps  # plain shared operator: reused by every block
+        elif nu < ngrps:
+            # shared-batched: blk is a multiple of gmax, so the block
+            # covers whole operator classes
+            gmax = ngrps // nu
+            comps_b = jax.lax.dynamic_slice_in_dim(
+                comps, (g0 // gmax), blk // gmax, axis=0
+            )
+        else:
+            comps_b = jax.lax.dynamic_slice_in_dim(comps, g0, blk, axis=0)
+        return tot + blocked(gr, gi, fr_b, fi_b, dr_b, di_b, w_b, comps_b,
+                             a0_b, a1_b), None
+
+    nbatch = gr.shape[0]
+    total, _ = jax.lax.scan(
+        body, jnp.zeros((nbatch,), dtype=gr.dtype), jnp.arange(nblk)
+    )
+    return total
+
+
 def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
-                         use_pallas=False, remat=False):
+                         use_pallas=False, remat=False, loss_block=None):
     """Per-batch-element chi-square, shape (nbatch,).
 
     The per-chunk term is EXPLICITLY batched over slices (not vmapped):
@@ -50,8 +111,11 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
 
     ``remat`` checkpoints each chunk's term (backward recomputes the
     foreground model instead of saving (nbatch, ngrps, nbls, nfreqs)
-    activations). ``use_pallas`` routes conforming chunks through the fused
-    kernel (ops.fused), vmapped over the batch axis."""
+    activations). ``loss_block`` additionally evaluates each chunk as a
+    scan over group blocks of that size (see _blocked_chunk_losses) —
+    bounds the activation HBM peak for many-poltime full-array batches.
+    ``use_pallas`` routes conforming chunks through the fused kernel
+    (ops.fused), vmapped over the batch axis."""
     from ..ops.loss import fg_model_batched
 
     def chunk_losses(gr, gi, fr, fi, dr, di, w, comps, a0, a1):
@@ -69,8 +133,7 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
             w * (jnp.square(dr - mr) + jnp.square(di - mi)), axis=(1, 2, 3)
         )
 
-    if remat:
-        chunk_losses = jax.checkpoint(chunk_losses)
+    plain_losses = jax.checkpoint(chunk_losses) if remat else chunk_losses
     total = 0.0
     for cnum, (comps, a0, a1) in enumerate(chunks):
         if use_pallas:
@@ -92,7 +155,17 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
                     data_r[cnum], data_i[cnum], wgts[cnum],
                 )
                 continue
-        total = total + chunk_losses(
+        ngrps = a0.shape[0]
+        nu = comps.shape[0]
+        gmax = ngrps // nu if 1 < nu < ngrps else 1
+        blk = _loss_block_size(ngrps, gmax, loss_block)
+        if blk is not None:
+            total = total + _blocked_chunk_losses(
+                chunk_losses, g_r, g_i, fg_r[cnum], fg_i[cnum],
+                data_r[cnum], data_i[cnum], wgts[cnum], comps, a0, a1, blk,
+            )
+            continue
+        total = total + plain_losses(
             g_r, g_i, fg_r[cnum], fg_i[cnum], data_r[cnum], data_i[cnum], wgts[cnum],
             comps, a0, a1,
         )
@@ -100,37 +173,86 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
 
 
 def batched_chunk_losses_sum_regularized(
-    g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, prior_r, prior_i
+    g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, prior_r, prior_i,
+    loss_block=None,
 ):
     """Per-batch-element chi-square + "sum" flux prior (reference
     mse_chunked_sum_regularized, calibration.py:1623-1656), one prior pair
     per batch element. Shape (nbatch,).
 
     Explicitly batched like batched_chunk_losses (one comps read for the
-    whole batch; bf16 upcast stays fused)."""
+    whole batch; bf16 upcast stays fused); ``loss_block`` bounds the
+    activation peak the same way (the model-flux sums accumulate across
+    blocks in the scan carry)."""
     from ..ops.loss import fg_model_batched
+
+    def chunk_terms(gr, gi, fr, fi, dr, di, w, comps, a0, a1):
+        gr0 = jnp.take(gr, a0, axis=1)
+        gr1 = jnp.take(gr, a1, axis=1)
+        gi0 = jnp.take(gi, a0, axis=1)
+        gi1 = jnp.take(gi, a1, axis=1)
+        pr = gr0 * gr1 + gi0 * gi1
+        pi = gr0 * gi1 - gi0 * gr1
+        vr, vi = fg_model_batched(fr, fi, comps)
+        model_r = pr * vr + pi * vi
+        model_i = -pi * vr + pr * vi
+        mrs = jnp.sum(model_r * w, axis=(1, 2, 3))
+        mis = jnp.sum(model_i * w, axis=(1, 2, 3))
+        loss = jnp.sum(
+            w * (jnp.square(dr - model_r) + jnp.square(di - model_i)),
+            axis=(1, 2, 3),
+        )
+        return loss, mrs, mis
 
     total = 0.0
     mr_sum = 0.0
     mi_sum = 0.0
+    nbatch = g_r.shape[0]
     for cnum, (comps, a0, a1) in enumerate(chunks):
-        gr0 = jnp.take(g_r, a0, axis=1)
-        gr1 = jnp.take(g_r, a1, axis=1)
-        gi0 = jnp.take(g_i, a0, axis=1)
-        gi1 = jnp.take(g_i, a1, axis=1)
-        pr = gr0 * gr1 + gi0 * gi1
-        pi = gr0 * gi1 - gi0 * gr1
-        vr, vi = fg_model_batched(fg_r[cnum], fg_i[cnum], comps)
-        model_r = pr * vr + pi * vi
-        model_i = -pi * vr + pr * vi
-        w = wgts[cnum]
-        mr_sum = mr_sum + jnp.sum(model_r * w, axis=(1, 2, 3))
-        mi_sum = mi_sum + jnp.sum(model_i * w, axis=(1, 2, 3))
-        total = total + jnp.sum(
-            w * (jnp.square(data_r[cnum] - model_r)
-                 + jnp.square(data_i[cnum] - model_i)),
-            axis=(1, 2, 3),
-        )
+        fr, fi = fg_r[cnum], fg_i[cnum]
+        dr, di, w = data_r[cnum], data_i[cnum], wgts[cnum]
+        ngrps = a0.shape[0]
+        nu = comps.shape[0]
+        gmax = ngrps // nu if 1 < nu < ngrps else 1
+        blk = _loss_block_size(ngrps, gmax, loss_block)
+        if blk is not None:
+            blocked = jax.checkpoint(chunk_terms)
+            nblk = ngrps // blk
+
+            def body(carry, i, fr=fr, fi=fi, dr=dr, di=di, w=w, comps=comps,
+                     a0=a0, a1=a1, nu=nu, ngrps=ngrps):
+                tot_c, mr_c, mi_c = carry
+                g0 = i * blk
+                sl = partial(jax.lax.dynamic_slice_in_dim, start_index=g0,
+                             slice_size=blk)
+                if nu == 1:
+                    comps_b = comps
+                elif nu < ngrps:
+                    gmax_l = ngrps // nu
+                    comps_b = jax.lax.dynamic_slice_in_dim(
+                        comps, g0 // gmax_l, blk // gmax_l, axis=0
+                    )
+                else:
+                    comps_b = sl(comps, axis=0)
+                loss_b, mr_b, mi_b = blocked(
+                    g_r, g_i, sl(fr, axis=1), sl(fi, axis=1), sl(dr, axis=1),
+                    sl(di, axis=1), sl(w, axis=1), comps_b,
+                    sl(a0, axis=0), sl(a1, axis=0),
+                )
+                return (tot_c + loss_b, mr_c + mr_b, mi_c + mi_b), None
+
+            zero = jnp.zeros((nbatch,), dtype=g_r.dtype)
+            (tot_c, mr_c, mi_c), _ = jax.lax.scan(
+                body, (zero, zero, zero), jnp.arange(nblk)
+            )
+            total = total + tot_c
+            mr_sum = mr_sum + mr_c
+            mi_sum = mi_sum + mi_c
+            continue
+        loss_c, mrs, mis = chunk_terms(g_r, g_i, fr, fi, dr, di, w, comps, a0, a1)
+        total = total + loss_c
+        mr_sum = mr_sum + mrs
+        mi_sum = mi_sum + mis
     return total + jnp.square(mr_sum - prior_r) + jnp.square(mi_sum - prior_i)
 
 
@@ -264,12 +386,14 @@ def _batched_step_fn(cfg: FitConfig, chunks, data_r, data_i, wgts, fg_r, fg_i,
     if cfg.regularization == "sum":
         def raw_losses(gr, gi, fr, fi):
             return batched_chunk_losses_sum_regularized(
-                gr, gi, fr, fi, chunks, data_r, data_i, wgts, prior_r, prior_i
+                gr, gi, fr, fi, chunks, data_r, data_i, wgts, prior_r, prior_i,
+                loss_block=cfg.loss_block,
             )
     else:
         def raw_losses(gr, gi, fr, fi):
             return batched_chunk_losses(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
-                                        use_pallas=cfg.use_pallas, remat=cfg.remat)
+                                        use_pallas=cfg.use_pallas, remat=cfg.remat,
+                                        loss_block=cfg.loss_block)
 
     if cfg.freeze_model:
         def losses_fn(params):

@@ -46,6 +46,10 @@ class FitConfig(NamedTuple):
     regularization: Optional[str] = None
     use_pallas: bool = False
     remat: bool = False
+    # evaluate batched losses as a scan over group blocks of this size:
+    # bounds the activation HBM peak for many-poltime full-array fits
+    # (parallel.batched._blocked_chunk_losses); None = single evaluation
+    loss_block: Optional[int] = None
 
 
 class FitResult(NamedTuple):

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--checkpoint_dir", default=None,
                     help="mid-fit checkpoint/resume directory (endurance runs)")
     ap.add_argument("--checkpoint_every", type=int, default=1000)
+    ap.add_argument("--loss_block_ngrps", type=int, default=None,
+                    help="group-block size for the scanned batched loss "
+                         "(bounds activation HBM at many times)")
     args = ap.parse_args()
 
     import os
@@ -167,6 +170,7 @@ def main():
         timings=timings,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        loss_block_ngrps=args.loss_block_ngrps,
     )
     t_fit = time.time() - t0
 
