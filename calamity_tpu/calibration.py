@@ -1174,6 +1174,8 @@ def _calibrate_time_parallel(
         f"{datetime.datetime.now()} Batched least-squares warm starts...\n",
         verbose=verbose,
     )
+    from .parallel.batched import _loss_block_size
+
     fg_r_b, fg_i_b = [], []
     prior_r_b = jnp.zeros((nbatch,), dtype=spec.dtype)
     prior_i_b = jnp.zeros((nbatch,), dtype=spec.dtype)
@@ -1181,27 +1183,58 @@ def _calibrate_time_parallel(
     for cnum in range(nchunks):
         comps_dev = fit_chunks[cnum][0]
         chol, active = gram_cholesky_chunk(comps_dev)
-        w_dev = wgts_b[cnum]
-        if have_sky:
-            src_r = put_sky(sky_r_h[cnum])
-            src_i = put_sky(sky_i_h[cnum])
-        else:
-            src_r, src_i = data_r_b[cnum], data_i_b[cnum]
-        cr, ci = init_coeffs_from_cholesky_batched(
-            chol, active, comps_dev, src_r, src_i, w_dev
-        )
-        if use_model_snr_weights:
-            from .ops.loss import fg_model_batched
+        ngrps = fit_chunks[cnum][1].shape[0]
+        nu = comps_dev.shape[0]
+        gmax = ngrps // nu if 1 < nu < ngrps else 1
+        # block the init over groups like the loss (loss_block_ngrps):
+        # the sky-chunk upload and the masked-rhs transients are cube-sized
+        # per chunk otherwise, which re-creates the activation OOM the
+        # blocked loss exists to avoid
+        blk = _loss_block_size(ngrps, gmax, loss_block_ngrps) or ngrps
+        new_w_blocks = [] if use_model_snr_weights else None
+        cr_blocks, ci_blocks = [], []
+        for g0 in range(0, ngrps, blk):
+            if have_sky:
+                src_r = put_sky(np.ascontiguousarray(
+                    sky_r_h[cnum][:, g0 : g0 + blk]))
+                src_i = put_sky(np.ascontiguousarray(
+                    sky_i_h[cnum][:, g0 : g0 + blk]))
+            else:
+                src_r = data_r_b[cnum][:, g0 : g0 + blk]
+                src_i = data_i_b[cnum][:, g0 : g0 + blk]
+            w_dev = wgts_b[cnum][:, g0 : g0 + blk]
+            if nu == 1:
+                comps_blk, chol_blk, active_blk = comps_dev, chol, active
+            elif nu < ngrps:
+                u0 = g0 // gmax
+                comps_blk = comps_dev[u0 : u0 + blk // gmax]
+                chol_blk = chol[u0 : u0 + blk // gmax]
+                active_blk = active[u0 : u0 + blk // gmax]
+            else:
+                comps_blk = comps_dev[g0 : g0 + blk]
+                chol_blk = chol[g0 : g0 + blk]
+                active_blk = active[g0 : g0 + blk]
+            cr, ci = init_coeffs_from_cholesky_batched(
+                chol_blk, active_blk, comps_blk, src_r, src_i, w_dev
+            )
+            if use_model_snr_weights:
+                from .ops.loss import fg_model_batched
 
-            vr, vi = fg_model_batched(cr, ci, comps_dev)
-            w_dev = (jnp.square(vr) + jnp.square(vi)) * w_dev
-            wgts_b[cnum] = w_dev
-        wsum_b = wsum_b + jnp.sum(w_dev, axis=(1, 2, 3))
-        prior_r_b = prior_r_b + jnp.sum(src_r * w_dev, axis=(1, 2, 3))
-        prior_i_b = prior_i_b + jnp.sum(src_i * w_dev, axis=(1, 2, 3))
+                vr, vi = fg_model_batched(cr, ci, comps_blk)
+                w_dev = (jnp.square(vr) + jnp.square(vi)) * w_dev
+                new_w_blocks.append(w_dev)
+            wsum_b = wsum_b + jnp.sum(w_dev, axis=(1, 2, 3))
+            prior_r_b = prior_r_b + jnp.sum(src_r * w_dev, axis=(1, 2, 3))
+            prior_i_b = prior_i_b + jnp.sum(src_i * w_dev, axis=(1, 2, 3))
+            cr_blocks.append(cr)
+            ci_blocks.append(ci)
+            del src_r, src_i, w_dev
+        if use_model_snr_weights:
+            wgts_b[cnum] = jnp.concatenate(new_w_blocks, axis=1)
+        cr = cr_blocks[0] if len(cr_blocks) == 1 else jnp.concatenate(cr_blocks, axis=1)
+        ci = ci_blocks[0] if len(ci_blocks) == 1 else jnp.concatenate(ci_blocks, axis=1)
         fg_r_b.append(put_coeffs(cr))
         fg_i_b.append(put_coeffs(ci))
-        del src_r, src_i
     if use_model_snr_weights:
         # renormalize the reweighted batch to unit total per slice
         # (reference calibration.py:1235-1242); dummy rows keep w = 0
