@@ -67,9 +67,15 @@ def _blocked_chunk_losses(chunk_losses, gr, gi, fr, fi, dr, di, w, comps, a0, a1
     ngrps = a0.shape[0]
     nblk = ngrps // blk
     nu = comps.shape[0]
-    blocked = jax.checkpoint(chunk_losses)
 
-    def body(tot, i):
+    # the SLICING happens INSIDE the checkpointed function: jax.checkpoint
+    # saves its inputs as residuals, and slicing outside would stack a
+    # per-iteration copy of every block across the scan — the full cube
+    # again, defeating the point (measured: +8 GiB at 8 x 1536 full HERA).
+    # With the index inside, the residuals are the loop-invariant full
+    # arrays (stored once) plus a scalar, and the backward re-slices.
+    @jax.checkpoint
+    def blocked(i, gr, gi, fr, fi, dr, di, w, comps, a0, a1):
         g0 = i * blk
         a0_b = jax.lax.dynamic_slice_in_dim(a0, g0, blk, axis=0)
         a1_b = jax.lax.dynamic_slice_in_dim(a1, g0, blk, axis=0)
@@ -89,8 +95,11 @@ def _blocked_chunk_losses(chunk_losses, gr, gi, fr, fi, dr, di, w, comps, a0, a1
             )
         else:
             comps_b = jax.lax.dynamic_slice_in_dim(comps, g0, blk, axis=0)
-        return tot + blocked(gr, gi, fr_b, fi_b, dr_b, di_b, w_b, comps_b,
-                             a0_b, a1_b), None
+        return chunk_losses(gr, gi, fr_b, fi_b, dr_b, di_b, w_b, comps_b,
+                            a0_b, a1_b)
+
+    def body(tot, i):
+        return tot + blocked(i, gr, gi, fr, fi, dr, di, w, comps, a0, a1), None
 
     nbatch = gr.shape[0]
     total, _ = jax.lax.scan(
@@ -216,28 +225,37 @@ def batched_chunk_losses_sum_regularized(
         gmax = ngrps // nu if 1 < nu < ngrps else 1
         blk = _loss_block_size(ngrps, gmax, loss_block)
         if blk is not None:
-            blocked = jax.checkpoint(chunk_terms)
             nblk = ngrps // blk
 
-            def body(carry, i, fr=fr, fi=fi, dr=dr, di=di, w=w, comps=comps,
-                     a0=a0, a1=a1, nu=nu, ngrps=ngrps):
-                tot_c, mr_c, mi_c = carry
+            # slice INSIDE the checkpointed fn (see _blocked_chunk_losses:
+            # outside-sliced inputs would be stacked per iteration as
+            # checkpoint residuals — the full cube again)
+            @jax.checkpoint
+            def blocked(i, gr, gi, fr_a, fi_a, dr_a, di_a, w_a, comps_a,
+                        a0_a, a1_a, nu=nu, ngrps=ngrps):
                 g0 = i * blk
                 sl = partial(jax.lax.dynamic_slice_in_dim, start_index=g0,
                              slice_size=blk)
                 if nu == 1:
-                    comps_b = comps
+                    comps_b = comps_a
                 elif nu < ngrps:
                     gmax_l = ngrps // nu
                     comps_b = jax.lax.dynamic_slice_in_dim(
-                        comps, g0 // gmax_l, blk // gmax_l, axis=0
+                        comps_a, g0 // gmax_l, blk // gmax_l, axis=0
                     )
                 else:
-                    comps_b = sl(comps, axis=0)
+                    comps_b = sl(comps_a, axis=0)
+                return chunk_terms(
+                    gr, gi, sl(fr_a, axis=1), sl(fi_a, axis=1),
+                    sl(dr_a, axis=1), sl(di_a, axis=1), sl(w_a, axis=1),
+                    comps_b, sl(a0_a, axis=0), sl(a1_a, axis=0),
+                )
+
+            def body(carry, i, fr=fr, fi=fi, dr=dr, di=di, w=w, comps=comps,
+                     a0=a0, a1=a1, blocked=blocked):
+                tot_c, mr_c, mi_c = carry
                 loss_b, mr_b, mi_b = blocked(
-                    g_r, g_i, sl(fr, axis=1), sl(fi, axis=1), sl(dr, axis=1),
-                    sl(di, axis=1), sl(w, axis=1), comps_b,
-                    sl(a0, axis=0), sl(a1, axis=0),
+                    i, g_r, g_i, fr, fi, dr, di, w, comps, a0, a1
                 )
                 return (tot_c + loss_b, mr_c + mr_b, mi_c + mi_b), None
 
@@ -426,9 +444,17 @@ def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
     resumes enter with step0 > 0); per-slice freeze bookkeeping records
     global step numbers so resumed diagnostics match an uninterrupted run.
     The per-segment history buffer is (seg_len, nbatch) float32 (see the
-    note in batched_fit_core)."""
+    note in batched_fit_core).
+
+    Argmin (use_min) tracking is STATICALLY conditional: with
+    cfg.use_min=False the best_loss/best_params carries are empty pytrees
+    — carrying a duplicate parameter set costs a full coefficient-state
+    copy of HBM at many-poltime full-array scale for bookkeeping nobody
+    reads (the driver returns the final params in that mode)."""
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     history0 = jnp.full((seg_len, nbatch), jnp.nan, dtype=jnp.float32)
+    if not cfg.use_min:
+        best_loss, best_params = (), ()
     state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev, frozen,
               nsteps_slice, best_loss, best_params, history0)
 
@@ -464,15 +490,16 @@ def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
         )
         nsteps_slice = jnp.where(newly, gstep + 1, nsteps_slice)
         frozen = frozen | newly
-        # per-slice argmin tracking: select along the batch axis
-        is_best = losses < best_loss
-        best_loss = jnp.minimum(losses, best_loss)
+        if cfg.use_min:
+            # per-slice argmin tracking: select along the batch axis
+            is_best = losses < best_loss
+            best_loss = jnp.minimum(losses, best_loss)
 
-        def sel(new, old):
-            bshape = (nbatch,) + (1,) * (new.ndim - 1)
-            return jnp.where(is_best.reshape(bshape), new, old)
+            def sel(new, old):
+                bshape = (nbatch,) + (1,) * (new.ndim - 1)
+                return jnp.where(is_best.reshape(bshape), new, old)
 
-        best_params = jax.tree_util.tree_map(sel, new_params, best_params)
+            best_params = jax.tree_util.tree_map(sel, new_params, best_params)
         return (step + 1, new_params, new_opt_state, losses, frozen, nsteps_slice,
                 best_loss, best_params, history)
 
@@ -482,14 +509,24 @@ def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
             history, step)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(0, 1),
+         donate_argnums=(10, 11, 12, 13, 14, 15, 16))
 def batched_fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts,
                         fg_r_const, fg_i_const, prior_r, prior_i, params,
                         opt_state, prev, frozen, nsteps_slice, best_loss,
                         best_params, step0):
     """Checkpointable batched descent segment: carried state in and out so
     the host can persist it between segments (the batched counterpart of
-    solver.fit._fit_segment)."""
+    solver.fit._fit_segment).
+
+    The carried state (params, optimizer state, freeze bookkeeping) is
+    DONATED: at full-HERA many-poltime scale the coefficient+Adam-moment
+    state is GiB-sized, and without donation every segment call holds both
+    the input and output copies. Callers must rebind their references to
+    the returned state (batched_fit_checkpointed does). In non-freeze mode
+    pass EMPTY tuples as fg_r_const/fg_i_const — the loss reads the
+    coefficients from params, and passing the same arrays both ways would
+    donate buffers that are still referenced."""
     _, one_step = _batched_step_fn(
         cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
     )
@@ -499,12 +536,13 @@ def batched_fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts,
     )
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(9, 10))
 def batched_warmup_step(cfg: FitConfig, chunks, data_r, data_i, wgts,
                         fg_r_const, fg_i_const, prior_r, prior_i, params,
                         opt_state):
     """One unrecorded warm-up step (parity with batched_fit_core / reference
-    calibration.py:693)."""
+    calibration.py:693). params/opt_state are donated — see
+    batched_fit_segment."""
     _, one_step = _batched_step_fn(
         cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
     )
@@ -540,29 +578,38 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
     dtype = g_r.dtype
     nbatch = g_r.shape[0]
     params = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
+    # in non-freeze mode the loss reads coefficients from params; pass
+    # EMPTY const tuples so params can be donated without aliasing
+    fg_rc = fg_r if cfg.freeze_model else ()
+    fg_ic = fg_i if cfg.freeze_model else ()
     opt_state = opt.init(params) if opt_state0 is None else opt_state0
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     prev = jnp.full((nbatch,), big, dtype=dtype)
     frozen = jnp.zeros((nbatch,), dtype=bool)
     nsteps_slice = jnp.full((nbatch,), cfg.maxsteps, dtype=jnp.int32)
-    best_loss = jnp.full((nbatch,), big, dtype=dtype)
-    best_params = params
+    if cfg.use_min:
+        best_loss = jnp.full((nbatch,), big, dtype=dtype)
+        best_params = params
+    else:
+        # argmin tracking off: don't carry (or checkpoint) a duplicate
+        # parameter set — see _batched_segment_impl
+        best_loss, best_params = (), ()
     history_all = np.zeros((0, nbatch), dtype=np.float32)
     step_total = 0
 
-    like_tree = {
-        "params": params,
-        "opt_state": opt_state,
-        "best_params": best_params,
-        "prev": prev,
-        "frozen": frozen,
-        "nsteps_slice": nsteps_slice,
-        "best_loss": best_loss,
-    }
     ckpt_path = latest_checkpoint(checkpoint_dir)
     if resume and ckpt_path is not None:
         echo(f"{datetime.datetime.now()} Resuming batched fit from {ckpt_path}",
              verbose=verbose)
+        like_tree = {
+            "params": params,
+            "opt_state": opt_state,
+            "best_params": best_params,
+            "prev": prev,
+            "frozen": frozen,
+            "nsteps_slice": nsteps_slice,
+            "best_loss": best_loss,
+        }
         tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
 
         def replace_on(like_leaf, leaf):
@@ -591,17 +638,20 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         step_total = int(scal["step"])
     else:
         params, opt_state = batched_warmup_step(
-            cfg, chunks, data_r, data_i, wgts, fg_r, fg_i, prior_r, prior_i,
+            cfg, chunks, data_r, data_i, wgts, fg_rc, fg_ic, prior_r, prior_i,
             params, opt_state,
         )
-        best_params = params
+        if cfg.use_min:
+            # a DISTINCT copy: params and best_params are both donated to
+            # the segment, and donating the same buffers twice is invalid
+            best_params = jax.tree_util.tree_map(jnp.copy, params)
 
     seg = max(1, min(int(checkpoint_every), cfg.maxsteps))
     while step_total < cfg.maxsteps and not bool(jnp.all(frozen)):
         seg_len = min(seg, cfg.maxsteps - step_total)
         (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
          hist_seg, nsteps_seg) = batched_fit_segment(
-            cfg, seg_len, chunks, data_r, data_i, wgts, fg_r, fg_i,
+            cfg, seg_len, chunks, data_r, data_i, wgts, fg_rc, fg_ic,
             prior_r, prior_i, params, opt_state, prev, frozen, nsteps_slice,
             best_loss, best_params, jnp.asarray(step_total, jnp.int32),
         )
