@@ -316,7 +316,12 @@ def calibrate_and_model_tensor(
     del fg_model_comps_dict
 
     if time_parallel:
-        if mesh is None:
+        if mesh is False:
+            # explicit single-device opt-out: no auto mesh — the batched
+            # descent then routes through the AOT auto-layout segment
+            # executables (parallel.batched.BatchedSegmentPlan)
+            mesh = None
+        elif mesh is None:
             import jax
 
             if len(jax.devices()) > 1:
@@ -952,6 +957,26 @@ def _pad_chunks_for_bl(chunks, n_bl):
     return out, pads
 
 
+def _compress_freq_invariant_wgts(w):
+    """Collapse a frequency-invariant weights cube to a broadcastable
+    trailing-1 frequency axis.
+
+    Unflagged data with flat weighting (the common production case: no RFI
+    flags, nsamples constant over the band) produces weight cubes whose
+    every frequency plane is identical. The batched loss only ever
+    multiplies and reduces against the weights, so a (nbatch, ngrps, nbls,
+    1) array broadcasts identically — and at 331 ants x 1536 ch x 8
+    poltimes it replaces a 2.7 GiB HBM cube (plus the loop-pinned layout
+    copy XLA makes of it, docs/DESIGN.md) with ~2 MiB. Frequency-dependent
+    weights (RFI flags, autocorr weights) are returned unchanged."""
+    if w.shape[-1] == 1:
+        return w
+    first = w[..., :1]
+    if np.array_equal(w, np.broadcast_to(first, w.shape)):
+        return np.ascontiguousarray(first)
+    return w
+
+
 def _calibrate_time_parallel(
     uvdata,
     spec,
@@ -1113,6 +1138,8 @@ def _calibrate_time_parallel(
         if nbatch > nbatch_real:
             w = w.copy()
             w[nbatch_real:] = 0.0
+        if not use_pallas:
+            w = _compress_freq_invariant_wgts(w)
         wgts_b.append(w)
         if have_sky:
             sky_r_h.append(pad_np(stack(per_slice["sky_r"][cnum]), 1, ngrps_pad))
@@ -1262,12 +1289,44 @@ def _calibrate_time_parallel(
 
         warn_pallas_fallbacks(fit_chunks)
 
+    # Single-device batched descents route through AOT auto-layout segment
+    # executables (parallel.batched.BatchedSegmentPlan): with default jit
+    # entry layouts XLA pins a layout-converted copy of every data/weight
+    # cube across the descent while-loop, which blows the single-chip HBM
+    # budget at many-poltime full-array scale (docs/DESIGN.md). The mesh
+    # path keeps plain jit (per-device shards are mesh-factor smaller);
+    # use_pallas keeps jit so kernel operand layouts stay default.
+    from .parallel.batched import auto_layouts_enabled, make_segment_plan
+
+    use_auto_plan = mesh is None and not use_pallas and auto_layouts_enabled()
+
     def run_batched(chs, gr, gi, fr, fi, opt_state0=None, ckdir=None):
-        if ckdir is not None:
+        nonlocal data_r_b, data_i_b, wgts_b
+        plan = None
+        if use_auto_plan:
+            plan = make_segment_plan(
+                cfg,
+                int(checkpoint_every) if ckdir is not None else cfg.maxsteps,
+                chs, data_r_b, data_i_b, wgts_b, gr, fr, prior_r_b,
+            )
+            # move the big constant tensors into the plan's entry layouts
+            # ONCE, rebinding the driver references — a lazily-relayouted
+            # cube would otherwise live twice (default-layout original +
+            # executable-layout copy) for the whole descent
+            chs = plan.put_entries(0, tuple(chs))
+            data_r_b = list(plan.put_entries(1, tuple(data_r_b)))
+            data_i_b = list(plan.put_entries(2, tuple(data_i_b)))
+            wgts_b = list(plan.put_entries(3, tuple(wgts_b)))
+            if freeze_model:
+                fr = plan.put_entries(4, tuple(fr))
+                fi = plan.put_entries(5, tuple(fi))
+        if ckdir is not None or plan is not None:
             res = batched_fit_checkpointed(
                 cfg, chs, tuple(data_r_b), tuple(data_i_b), tuple(wgts_b),
                 gr, gi, tuple(fr), tuple(fi), prior_r_b, prior_i_b,
-                ckdir, int(checkpoint_every), resume, verbose, opt_state0,
+                ckdir,
+                int(checkpoint_every) if ckdir is not None else cfg.maxsteps,
+                resume, verbose, opt_state0, plan=plan,
             )
         else:
             res = batched_fit_core(

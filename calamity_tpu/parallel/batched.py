@@ -437,7 +437,7 @@ def _batched_step_fn(cfg: FitConfig, chunks, data_r, data_i, wgts, fg_r, fg_i,
 
 def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
                           params, opt_state, prev, frozen, nsteps_slice,
-                          best_loss, best_params, step0):
+                          best_loss, best_params, step0, warmup=False):
     """Up to ``seg_len`` batched descent steps from explicit carried state.
 
     ``step0`` is the number of GLOBAL steps already taken (checkpointed
@@ -446,11 +446,23 @@ def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
     The per-segment history buffer is (seg_len, nbatch) float32 (see the
     note in batched_fit_core).
 
+    ``warmup`` runs ONE unrecorded step before the loop (reference
+    calibration.py:693 parity) INSIDE the same program — a separate
+    warm-up program would compile with its own entry layouts and, at
+    many-poltime full-array scale, hold its own transient layout copies
+    of the data cubes (see BatchedSegmentPlan).
+
     Argmin (use_min) tracking is STATICALLY conditional: with
     cfg.use_min=False the best_loss/best_params carries are empty pytrees
     — carrying a duplicate parameter set costs a full coefficient-state
     copy of HBM at many-poltime full-array scale for bookkeeping nobody
     reads (the driver returns the final params in that mode)."""
+    if warmup:
+        # uncounted by step0/history; with use_min the incoming best_params
+        # snapshot is pre-warm-up, which is equivalent: every slice's best
+        # is overwritten at its first recorded step (best_loss enters at
+        # `big`, so is_best is True for all slices at step 0)
+        _, params, opt_state = one_step(params, opt_state)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     history0 = jnp.full((seg_len, nbatch), jnp.nan, dtype=jnp.float32)
     if not cfg.use_min:
@@ -509,15 +521,33 @@ def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
             history, step)
 
 
-@partial(jax.jit, static_argnums=(0, 1),
-         donate_argnums=(10, 11, 12, 13, 14, 15, 16))
-def batched_fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts,
-                        fg_r_const, fg_i_const, prior_r, prior_i, params,
-                        opt_state, prev, frozen, nsteps_slice, best_loss,
-                        best_params, step0):
+def _segment_fn(cfg: FitConfig, seg_len, warmup, chunks, data_r, data_i, wgts,
+                fg_r_const, fg_i_const, prior_r, prior_i, params,
+                opt_state, prev, frozen, nsteps_slice, best_loss,
+                best_params, step0):
+    """The raw (untransformed) segment program shared by the jit entry
+    point and the AOT auto-layout executables (_segment_executable)."""
+    _, one_step = _batched_step_fn(
+        cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
+    )
+    return _batched_segment_impl(
+        cfg, seg_len, one_step, prev.shape[0], prev.dtype, params, opt_state,
+        prev, frozen, nsteps_slice, best_loss, best_params, step0,
+        warmup=warmup,
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2),
+         donate_argnums=(11, 12, 13, 14, 15, 16, 17))
+def batched_fit_segment(cfg: FitConfig, seg_len, warmup, chunks, data_r,
+                        data_i, wgts, fg_r_const, fg_i_const, prior_r,
+                        prior_i, params, opt_state, prev, frozen,
+                        nsteps_slice, best_loss, best_params, step0):
     """Checkpointable batched descent segment: carried state in and out so
     the host can persist it between segments (the batched counterpart of
-    solver.fit._fit_segment).
+    solver.fit._fit_segment). ``warmup`` folds the fit's one unrecorded
+    warm-up step (reference calibration.py:693 parity) into the FIRST
+    segment's program — see _batched_segment_impl.
 
     The carried state (params, optimizer state, freeze bookkeeping) is
     DONATED: at full-HERA many-poltime scale the coefficient+Adam-moment
@@ -527,54 +557,204 @@ def batched_fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts,
     pass EMPTY tuples as fg_r_const/fg_i_const — the loss reads the
     coefficients from params, and passing the same arrays both ways would
     donate buffers that are still referenced."""
-    _, one_step = _batched_step_fn(
-        cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
-    )
-    return _batched_segment_impl(
-        cfg, seg_len, one_step, prev.shape[0], prev.dtype, params, opt_state,
-        prev, frozen, nsteps_slice, best_loss, best_params, step0,
+    return _segment_fn(
+        cfg, seg_len, warmup, chunks, data_r, data_i, wgts, fg_r_const,
+        fg_i_const, prior_r, prior_i, params, opt_state, prev, frozen,
+        nsteps_slice, best_loss, best_params, step0,
     )
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(9, 10))
-def batched_warmup_step(cfg: FitConfig, chunks, data_r, data_i, wgts,
-                        fg_r_const, fg_i_const, prior_r, prior_i, params,
-                        opt_state):
-    """One unrecorded warm-up step (parity with batched_fit_core / reference
-    calibration.py:693). params/opt_state are donated — see
-    batched_fit_segment."""
-    _, one_step = _batched_step_fn(
-        cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
+def auto_layouts_enabled():
+    """Whether single-device batched descents use AOT auto-layout segment
+    executables (default). ``CALAMITY_SEGMENT_LAYOUTS=jit`` forces the
+    plain jit path (default row-major entry layouts) for debugging."""
+    import os
+
+    return os.environ.get("CALAMITY_SEGMENT_LAYOUTS", "auto").lower() != "jit"
+
+
+def _format_of(x):
+    try:
+        return x.format
+    except (AttributeError, ValueError):
+        return None
+
+
+def _put_format(x, fmt):
+    return x if _format_of(x) == fmt else jax.device_put(x, fmt)
+
+
+def _aval_key(tree):
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    return (treedef, tuple((tuple(l.shape), jnp.dtype(l.dtype).name) for l in leaves))
+
+
+_SEGMENT_PLAN_CACHE: dict = {}
+
+
+class BatchedSegmentPlan:
+    """AOT auto-layout executables for single-device batched descents.
+
+    jit compiles entry points with default (row-major) entry layouts; at
+    many-poltime full-array scale the while-loop segment program then pins
+    a layout-converted copy of every data/weight cube for the whole
+    descent (measured 12.2 GiB of HLO temps — 22.5 GiB total request
+    against 15.75 GiB of v5e HBM — at 331 ants x 1536 ch x 8 poltimes;
+    docs/DESIGN.md "Multi-time HBM budget"). Compiling the SAME program
+    with AUTO entry layouts lets the loop body's preferred cube layouts
+    propagate to the entry instead: temps drop to 2.7 GiB and the run
+    fits on one chip.
+
+    The plan compiles the PRIMARY variant (main segment length, no
+    warm-up) with all-AUTO entry layouts, then pins every secondary
+    variant (the warm-up first segment, any partial final segment) to the
+    primary's chosen entry formats — so the carried descent state and the
+    cubes never relayout between segments. ``entry_formats`` exposes the
+    choice so the driver can move the big constant tensors into it ONCE,
+    rebinding its references (a lazily-relayouted cube would otherwise
+    live twice for the whole descent: the caller's default-layout original
+    plus the executable's copy).
+
+    Single-device only: mesh runs keep the jit path (per-device shards are
+    a mesh-factor smaller, and AUTO layouts would have to be planned
+    against NamedShardings). The same program semantics are compiled
+    either way (_segment_fn), so trajectories are independent of the
+    routing."""
+
+    def __init__(self, cfg: FitConfig, seg_len, args_sds):
+        self.cfg = cfg
+        self.seg_len = int(seg_len)
+        self._args_sds = args_sds
+        self._compiled = {}
+        primary = self._compile(self.seg_len, False, _auto_format(), _auto_format())
+        self._compiled[(self.seg_len, False)] = primary
+        self.entry_formats = primary.input_formats[0]
+        self.out_formats = primary.output_formats
+
+    def _compile(self, seg_len, warmup, in_shardings, out_shardings):
+        fn = partial(_segment_fn, self.cfg, seg_len, warmup)
+        jitted = jax.jit(
+            fn,
+            donate_argnums=(8, 9, 10, 11, 12, 13, 14),
+            in_shardings=in_shardings,
+            out_shardings=out_shardings,
+        )
+        return jitted.lower(*self._args_sds).compile()
+
+    def run(self, seg_len, warmup, args):
+        key = (int(seg_len), bool(warmup))
+        comp = self._compiled.get(key)
+        if comp is None:
+            # secondary variants pin BOTH entry and output formats to the
+            # primary's choice: donated carries require concrete matching
+            # in/out layouts, and pinned entries keep the cubes and the
+            # carried state from relayouting between segment executables
+            comp = self._compile(seg_len, warmup, self.entry_formats,
+                                 self.out_formats)
+            self._compiled[key] = comp
+        args = jax.tree_util.tree_map(_put_format, args, self.entry_formats)
+        return comp(*args)
+
+    def put_entries(self, index, tree):
+        """device_put ``tree`` (matching entry slot ``index`` of the
+        segment signature) into the planned entry formats. No-op for
+        leaves already in the right format."""
+        return jax.tree_util.tree_map(
+            _put_format, tree, self.entry_formats[index]
+        )
+
+
+def _auto_format():
+    from jax.experimental.layout import Format, Layout
+
+    return Format(Layout.AUTO)
+
+
+def make_segment_plan(cfg: FitConfig, checkpoint_every, chunks, data_r, data_i,
+                      wgts, g_r, fg_r, prior_r):
+    """Build (or fetch from the process cache) the layout plan for a
+    batched descent with the given entry tensors/avals.
+
+    ``g_r``/``fg_r``/``prior_r`` may be concrete arrays or
+    ShapeDtypeStructs; only shapes/dtypes are read. The optimizer state
+    aval is derived with eval_shape, and the carried-state structure
+    (freeze_model/use_min variants, empty const tuples) mirrors
+    batched_fit_checkpointed exactly."""
+    def as_sds(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(tuple(x.shape), x.dtype), tree
+        )
+
+    nbatch = g_r.shape[0]
+    dtype = g_r.dtype
+    g_sds = jax.ShapeDtypeStruct(tuple(g_r.shape), dtype)
+    fg_sds = as_sds(tuple(fg_r))
+    if cfg.freeze_model:
+        params_sds = (g_sds, g_sds)
+        fg_rc_sds, fg_ic_sds = fg_sds, fg_sds
+    else:
+        params_sds = (g_sds, g_sds, fg_sds, fg_sds)
+        fg_rc_sds, fg_ic_sds = (), ()
+    opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
+    opt_state_sds = jax.eval_shape(opt.init, params_sds)
+    vec_sds = jax.ShapeDtypeStruct((nbatch,), dtype)
+    if cfg.use_min:
+        best_loss_sds, best_params_sds = vec_sds, params_sds
+    else:
+        best_loss_sds, best_params_sds = (), ()
+    args_sds = (
+        as_sds(tuple(chunks)), as_sds(tuple(data_r)), as_sds(tuple(data_i)),
+        as_sds(tuple(wgts)), fg_rc_sds, fg_ic_sds,
+        jax.ShapeDtypeStruct(tuple(prior_r.shape), prior_r.dtype),
+        jax.ShapeDtypeStruct(tuple(prior_r.shape), prior_r.dtype),
+        params_sds, opt_state_sds, vec_sds,
+        jax.ShapeDtypeStruct((nbatch,), jnp.bool_),
+        jax.ShapeDtypeStruct((nbatch,), jnp.int32),
+        best_loss_sds, best_params_sds,
+        jax.ShapeDtypeStruct((), jnp.int32),
     )
-    _, params, opt_state = one_step(params, opt_state)
-    return params, opt_state
+    seg = max(1, min(int(checkpoint_every), cfg.maxsteps))
+    key = (cfg, seg, _aval_key(args_sds))
+    plan = _SEGMENT_PLAN_CACHE.get(key)
+    if plan is None:
+        plan = BatchedSegmentPlan(cfg, seg, args_sds)
+        _SEGMENT_PLAN_CACHE[key] = plan
+    return plan
 
 
 def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i,
                              fg_r, fg_i, prior_r, prior_i, checkpoint_dir,
-                             checkpoint_every, resume, verbose, opt_state0=None):
+                             checkpoint_every, resume, verbose, opt_state0=None,
+                             plan: BatchedSegmentPlan | None = None):
     """Segmented batched descent with host-side checkpointing between
     segments (the batched counterpart of solver.fit._fit_checkpointed;
     VERDICT r2 item 1 — the flagship time-parallel path previously dropped
     --checkpoint_dir silently).
 
-    Semantics match batched_fit_core: same warm-up, per-slice freeze and
-    argmin bookkeeping, global step numbering. The FULL carried state —
-    params, optimizer state, per-slice prev/frozen/nsteps/best and the
-    (step, nbatch) history — persists after every ``checkpoint_every``
-    steps via solver.checkpoint.save_state; an interrupted run resumed
-    from the latest checkpoint reproduces the uninterrupted trajectory
-    bit-exactly. Under a mesh, restored leaves are device_put back onto
-    the shardings of the entry arrays (checkpoint files are host-gathered)."""
+    Semantics match batched_fit_core: same warm-up (folded into the first
+    segment's program via the ``warmup`` static — a separate warm-up
+    executable would pin its own entry-layout copies of the cubes at
+    many-poltime scale), per-slice freeze and argmin bookkeeping, global
+    step numbering. The FULL carried state — params, optimizer state,
+    per-slice prev/frozen/nsteps/best and the (step, nbatch) history —
+    persists after every ``checkpoint_every`` steps via
+    solver.checkpoint.save_state; an interrupted run resumed from the
+    latest checkpoint reproduces the uninterrupted trajectory bit-exactly.
+    Under a mesh, restored leaves are device_put back onto the shardings
+    of the entry arrays (checkpoint files are host-gathered).
+
+    ``checkpoint_dir=None`` runs the same segmented descent without
+    persistence — the single-device drivers use this to route EVERY
+    batched fit through the auto-layout ``plan`` executables
+    (BatchedSegmentPlan). ``plan``, when given, replaces the jit entry
+    point; trajectories are identical either way."""
     import datetime
     import os
 
     from ..solver.checkpoint import latest_checkpoint, load_state, save_state
     from ..utils import echo
 
-    opt, _ = _batched_step_fn(
-        cfg, chunks, data_r, data_i, wgts, fg_r, fg_i, prior_r, prior_i
-    )
+    opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
     dtype = g_r.dtype
     nbatch = g_r.shape[0]
     params = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
@@ -596,9 +776,13 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         best_loss, best_params = (), ()
     history_all = np.zeros((0, nbatch), dtype=np.float32)
     step_total = 0
+    warmup_pending = True
 
-    ckpt_path = latest_checkpoint(checkpoint_dir)
+    ckpt_path = (
+        latest_checkpoint(checkpoint_dir) if checkpoint_dir is not None else None
+    )
     if resume and ckpt_path is not None:
+        warmup_pending = False  # the warm-up ran before the first checkpoint
         echo(f"{datetime.datetime.now()} Resuming batched fit from {ckpt_path}",
              verbose=verbose)
         like_tree = {
@@ -636,25 +820,29 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         best_loss = tree["best_loss"]
         history_all = np.asarray(scal["history"], dtype=np.float32).reshape(-1, nbatch)
         step_total = int(scal["step"])
-    else:
-        params, opt_state = batched_warmup_step(
-            cfg, chunks, data_r, data_i, wgts, fg_rc, fg_ic, prior_r, prior_i,
-            params, opt_state,
-        )
-        if cfg.use_min:
-            # a DISTINCT copy: params and best_params are both donated to
-            # the segment, and donating the same buffers twice is invalid
-            best_params = jax.tree_util.tree_map(jnp.copy, params)
+    elif cfg.use_min:
+        # a DISTINCT copy: params and best_params are both donated to
+        # the segment, and donating the same buffers twice is invalid.
+        # (The snapshot is pre-warm-up — equivalent, since best_loss
+        # enters at `big` so every slice's best is overwritten at its
+        # first recorded step.)
+        best_params = jax.tree_util.tree_map(jnp.copy, params)
 
     seg = max(1, min(int(checkpoint_every), cfg.maxsteps))
     while step_total < cfg.maxsteps and not bool(jnp.all(frozen)):
         seg_len = min(seg, cfg.maxsteps - step_total)
-        (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
-         hist_seg, nsteps_seg) = batched_fit_segment(
-            cfg, seg_len, chunks, data_r, data_i, wgts, fg_rc, fg_ic,
-            prior_r, prior_i, params, opt_state, prev, frozen, nsteps_slice,
-            best_loss, best_params, jnp.asarray(step_total, jnp.int32),
+        seg_args = (
+            chunks, data_r, data_i, wgts, fg_rc, fg_ic, prior_r, prior_i,
+            params, opt_state, prev, frozen, nsteps_slice, best_loss,
+            best_params, jnp.asarray(step_total, jnp.int32),
         )
+        if plan is not None:
+            out = plan.run(seg_len, warmup_pending, seg_args)
+        else:
+            out = batched_fit_segment(cfg, seg_len, warmup_pending, *seg_args)
+        warmup_pending = False
+        (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
+         hist_seg, nsteps_seg) = out
         nsteps_seg = int(nsteps_seg)
         if nsteps_seg == 0:
             # every slice frozen on segment entry — nothing more to record
@@ -663,6 +851,8 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             [history_all, np.asarray(hist_seg[:nsteps_seg], dtype=np.float32)]
         )
         step_total += nsteps_seg
+        if checkpoint_dir is None:
+            continue
         save_state(
             os.path.join(checkpoint_dir, f"step_{step_total}"),
             {

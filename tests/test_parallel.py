@@ -566,3 +566,126 @@ def test_batched_chunk_losses_match_per_slice():
                 np.asarray(batched), per_slice, rtol=tol,
                 err_msg=f"{kind} {dtype}",
             )
+
+
+def test_compress_freq_invariant_wgts():
+    """Frequency-invariant weight cubes collapse to a broadcastable
+    trailing-1 axis; frequency-dependent ones pass through unchanged."""
+    from calamity_tpu.calibration import _compress_freq_invariant_wgts
+
+    rng = np.random.default_rng(3)
+    flat = np.repeat(
+        np.abs(rng.standard_normal((2, 4, 3, 1))).astype(np.float32), 5, axis=-1
+    )
+    out = _compress_freq_invariant_wgts(flat)
+    assert out.shape == (2, 4, 3, 1)
+    assert np.array_equal(out[..., 0], flat[..., 0])
+    # flagged channel -> frequency-dependent -> untouched
+    varied = flat.copy()
+    varied[0, 1, 2, 3] = 0.0
+    out2 = _compress_freq_invariant_wgts(varied)
+    assert out2 is varied
+    # already compressed passes through
+    assert _compress_freq_invariant_wgts(out) is out
+
+
+def test_auto_layout_plan_matches_jit_path(projected_multitime, monkeypatch):
+    """The AOT auto-layout segment route (default on single device;
+    mesh=False opts out of the virtual-device auto mesh) produces the same
+    trajectory as the plain jit batched_fit_core route
+    (CALAMITY_SEGMENT_LAYOUTS=jit): same per-slice step counts and
+    recorded losses to float tolerance, same products."""
+    from calamity_tpu.parallel.batched import _SEGMENT_PLAN_CACHE
+
+    common = dict(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        gains=None,
+        maxsteps=150,
+        tol=0.0,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        mesh=False,
+    )
+    monkeypatch.setenv("CALAMITY_SEGMENT_LAYOUTS", "jit")
+    model_j, resid_j, gains_j, hist_j = calibration.calibrate_and_model_dpss(**common)
+    monkeypatch.delenv("CALAMITY_SEGMENT_LAYOUTS")
+    n_plans_before = len(_SEGMENT_PLAN_CACHE)
+    model_a, resid_a, gains_a, hist_a = calibration.calibrate_and_model_dpss(**common)
+    # the auto route actually built plans (one per mixed-precision phase)
+    assert len(_SEGMENT_PLAN_CACHE) > n_plans_before
+    for t in range(3):
+        la = np.asarray(hist_a[0][t]["loss"])
+        lj = np.asarray(hist_j[0][t]["loss"])
+        # default comps_precision="mixed": both phases recorded, both routes
+        assert len(la) == len(lj) == 300
+        np.testing.assert_allclose(la, lj, rtol=1e-5)
+    np.testing.assert_allclose(
+        gains_a.gain_array, gains_j.gain_array, atol=1e-6, rtol=0
+    )
+
+
+def test_segment_plan_cache_reuse(projected_multitime):
+    """Identical single-device fit signatures reuse one compiled layout
+    plan; the warm-up first segment and the main segment are distinct
+    compiled variants of it."""
+    from calamity_tpu.parallel.batched import _SEGMENT_PLAN_CACHE
+
+    common = dict(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        gains=None,
+        maxsteps=40,
+        tol=0.0,
+        time_parallel=True,
+        mesh=False,
+    )
+    calibration.calibrate_and_model_dpss(**common)
+    n_after_first = len(_SEGMENT_PLAN_CACHE)
+    assert n_after_first > 0
+    # the cache is process-global: select this fit's plans by segment length
+    plans = [p for p in _SEGMENT_PLAN_CACHE.values() if p.seg_len == 40]
+    assert plans  # one per mixed-precision phase
+    for plan in plans:
+        # single segment of maxsteps: primary (40, False) + warm-up (40, True)
+        assert (40, False) in plan._compiled and (40, True) in plan._compiled
+    calibration.calibrate_and_model_dpss(**common)
+    assert len(_SEGMENT_PLAN_CACHE) == n_after_first
+
+
+def test_checkpoint_resume_under_auto_plan(tmp_path, projected_multitime):
+    """Interrupted + resumed single-device (auto-layout plan) checkpointed
+    batched descent reproduces the uninterrupted run bit-exactly, with the
+    warm-up folded into the first segment only."""
+    def run(ckdir, maxsteps):
+        return calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3,
+            offset=2.0 / 0.3,
+            uvdata=projected_multitime,
+            gains=None,
+            maxsteps=maxsteps,
+            tol=0.0,
+            time_parallel=True,
+            mesh=False,
+            checkpoint_dir=ckdir,
+            checkpoint_every=50,
+            resume=True,
+            comps_precision="float32",
+        )
+
+    ck_a = str(tmp_path / "a")
+    ck_b = str(tmp_path / "b")
+    model_a, resid_a, gains_a, hist_a = run(ck_a, 120)
+    run(ck_b, 60)
+    model_b, resid_b, gains_b, hist_b = run(ck_b, 120)
+    for t in range(3):
+        la = np.asarray(hist_a[0][t]["loss"])
+        lb = np.asarray(hist_b[0][t]["loss"])
+        assert len(la) == len(lb) == 120
+        assert np.array_equal(la, lb)
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+    assert np.array_equal(model_a.data_array, model_b.data_array)
