@@ -736,6 +736,11 @@ def _calibrate_time_scan(
         data_r_s = stack_padded(per["dr"])
         data_i_s = stack_padded(per["di"])
         wgts_s = stack_padded(per["w"])
+        if not use_pallas:
+            # broadcastable weights (see _compress_freq_invariant_wgts);
+            # the scan slices the leading time axis, the loss broadcasts
+            # the trailing-1 frequency axis
+            wgts_s = tuple(_compress_freq_invariant_wgts(w) for w in wgts_s)
         if mesh is None:
             data_r_s = tuple(jnp.asarray(x) for x in data_r_s)
             data_i_s = tuple(jnp.asarray(x) for x in data_i_s)
