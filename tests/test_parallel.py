@@ -689,3 +689,35 @@ def test_checkpoint_resume_under_auto_plan(tmp_path, projected_multitime):
         assert np.array_equal(la, lb)
     assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
     assert np.array_equal(model_a.data_array, model_b.data_array)
+
+
+def test_freeze_model_sum_reg_under_auto_plan(projected_multitime):
+    """freeze_model + sum regularization through the single-device layout
+    plan: the constant coefficient tensors route through put_entries and
+    gain-only calibration still recovers |g| ~ 1 per slice."""
+    rng = np.random.default_rng(7)
+    gains0 = cal_utils.blank_uvcal_from_uvdata(projected_multitime)
+    gains0.gain_array = gains0.gain_array * (
+        1 + 1e-2 * rng.standard_normal(gains0.gain_array.shape)
+        + 1e-2j * rng.standard_normal(gains0.gain_array.shape)
+    )
+    corrupted = cal_utils.apply_gains(projected_multitime, gains0, inverse=True)
+    model, resid, fitted, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=corrupted,
+        gains=None,
+        sky_model=projected_multitime,
+        freeze_model=True,
+        maxsteps=2500,
+        tol=1e-12,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="sum",
+        learning_rate=1e-2,
+        time_parallel=True,
+        mesh=False,
+    )
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
+    assert np.allclose(np.abs(fitted.gain_array), np.abs(gains0.gain_array),
+                       rtol=0.0, atol=1e-3)
