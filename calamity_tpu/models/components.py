@@ -77,16 +77,23 @@ def yield_pbl_model_comps(
     notebook_progressbar=False,
     verbose=False,
     basis="dpss",
+    operator_cache=None,
 ):
     """Per-baseline (or per-redundant-group) smooth-basis components.
 
     Reference parity: modeling.yield_pbl_dpss_model_comps
     (modeling.py:304-374), generalized over the basis type.
 
+    ``operator_cache`` shares operator matrices with a caller that already
+    built some (at full-HERA band each distinct delay width costs an
+    O(Nfreqs) tridiagonal eigendecomposition — sharing halves setup when a
+    simulator or weights pass computed the same operators).
+
     Returns a dict keyed by 3-level nested tuples
     ``((antpair, ...),)`` -> (Nfreqs, Ncomp) float64 matrix.
     """
-    operator_cache = {}
+    if operator_cache is None:
+        operator_cache = {}
     _, red_grps, vec_bin_centers, _ = get_redundant_grps_data(
         visdata, remove_redundancy=not use_redundancy, tol=red_tol, include_autos=include_autos
     )

@@ -126,7 +126,11 @@ def main():
 
     stage("building component dict")
     t0 = time.time()
-    comps = models.yield_pbl_dpss_model_comps(uvd, min_dly=10.0, offset=10.0)
+    # share the projection loop's operator cache: each distinct delay
+    # width costs an O(Nfreqs) tridiagonal eigh at the full band
+    comps = models.yield_pbl_dpss_model_comps(
+        uvd, min_dly=10.0, offset=10.0, operator_cache=cache
+    )
     t_basis = time.time() - t0
 
     truth = cal_utils.blank_uvcal_from_uvdata(uvd)
