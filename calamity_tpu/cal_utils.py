@@ -48,10 +48,18 @@ def apply_gains(uvdata, gains, inverse=False):
         )
         g = gains.gain_array[:, 0, :, :, gp]  # (nants, nfreqs, ntimes)
         gf = gains.flag_array[:, 0, :, :, gp]
-        gg = g[a0, :, tidx] * np.conj(g[a1, :, tidx])  # (nblts, nfreqs)
-        if inverse:
-            calibrated.data_array[:, 0, :, pnum] *= gg
-        else:
-            calibrated.data_array[:, 0, :, pnum] /= gg
-        calibrated.flag_array[:, 0, :, pnum] |= gf[a0, :, tidx] | gf[a1, :, tidx]
+        # one gain time per block of blts: gather and multiply per block so
+        # the transient is (block nbls, nfreqs), not (nblts, nfreqs) — at
+        # full-HERA many-times scale the all-blts gather materializes
+        # several copies of a ~10 GiB complex cube
+        for ti in np.unique(tidx):
+            rows = np.nonzero(tidx == ti)[0]
+            gg = g[a0[rows], :, ti] * np.conj(g[a1[rows], :, ti])
+            if inverse:
+                calibrated.data_array[rows, 0, :, pnum] *= gg
+            else:
+                calibrated.data_array[rows, 0, :, pnum] /= gg
+            calibrated.flag_array[rows, 0, :, pnum] |= (
+                gf[a0[rows], :, ti] | gf[a1[rows], :, ti]
+            )
     return calibrated
