@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import time as _time
 
 import numpy as np
 
@@ -1309,10 +1310,23 @@ def _calibrate_time_parallel(
         nonlocal data_r_b, data_i_b, wgts_b
         plan = None
         if use_auto_plan:
+            echo(
+                f"{datetime.datetime.now()} Compiling auto-layout segment "
+                "executable (one per precision phase; minutes of single-core "
+                "XLA at full-array scale — persists across runs when "
+                "JAX_COMPILATION_CACHE_DIR is set)...\n",
+                verbose=verbose,
+            )
+            t_plan = _time.time()
             plan = make_segment_plan(
                 cfg,
                 int(checkpoint_every) if ckdir is not None else cfg.maxsteps,
                 chs, data_r_b, data_i_b, wgts_b, gr, fr, prior_r_b,
+            )
+            echo(
+                f"{datetime.datetime.now()} ...segment executable ready "
+                f"({_time.time() - t_plan:.1f} s)\n",
+                verbose=verbose,
             )
             # move the big constant tensors into the plan's entry layouts
             # ONCE, rebinding the driver references — a lazily-relayouted

@@ -435,36 +435,41 @@ def _batched_step_fn(cfg: FitConfig, chunks, data_r, data_i, wgts, fg_r, fg_i,
     return opt, one_step
 
 
-def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
+def _batched_segment_impl(cfg: FitConfig, seg_cap, one_step, nbatch, dtype,
                           params, opt_state, prev, frozen, nsteps_slice,
-                          best_loss, best_params, step0, warmup=False):
-    """Up to ``seg_len`` batched descent steps from explicit carried state.
+                          best_loss, best_params, step0, seg_len=None,
+                          warmup_offset=0):
+    """Up to ``seg_len`` (<= static ``seg_cap``) recorded batched descent
+    steps from explicit carried state.
 
     ``step0`` is the number of GLOBAL steps already taken (checkpointed
     resumes enter with step0 > 0); per-slice freeze bookkeeping records
     global step numbers so resumed diagnostics match an uninterrupted run.
-    The per-segment history buffer is (seg_len, nbatch) float32 (see the
+    The per-segment history buffer is (seg_cap, nbatch) float32 (see the
     note in batched_fit_core).
 
-    ``warmup`` runs ONE unrecorded step before the loop (reference
-    calibration.py:693 parity) INSIDE the same program — a separate
-    warm-up program would compile with its own entry layouts and, at
-    many-poltime full-array scale, hold its own transient layout copies
-    of the data cubes (see BatchedSegmentPlan).
+    ``seg_len`` and ``warmup_offset`` are TRACED scalars so one compiled
+    executable serves every segment of a fit: at many-poltime full-array
+    scale each segment-program compile is minutes of single-core XLA
+    wall-clock (and with auto layouts each variant would pin its own
+    layout-converted cube copies); statically specializing (length,
+    warmup) variants multiplied that by 4. ``warmup_offset=1`` runs ONE
+    unrecorded step before counting begins (reference calibration.py:693
+    parity): iteration ``step`` records at index ``step - warmup_offset``,
+    negative indices leave every statistic untouched — identical
+    bookkeeping to the old static warm-up prologue.
 
     Argmin (use_min) tracking is STATICALLY conditional: with
     cfg.use_min=False the best_loss/best_params carries are empty pytrees
     — carrying a duplicate parameter set costs a full coefficient-state
     copy of HBM at many-poltime full-array scale for bookkeeping nobody
     reads (the driver returns the final params in that mode)."""
-    if warmup:
-        # uncounted by step0/history; with use_min the incoming best_params
-        # snapshot is pre-warm-up, which is equivalent: every slice's best
-        # is overwritten at its first recorded step (best_loss enters at
-        # `big`, so is_best is True for all slices at step 0)
-        _, params, opt_state = one_step(params, opt_state)
+    if seg_len is None:
+        seg_len = seg_cap
+    seg_len = jnp.asarray(seg_len, jnp.int32)
+    warmup_offset = jnp.asarray(warmup_offset, jnp.int32)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
-    history0 = jnp.full((seg_len, nbatch), jnp.nan, dtype=jnp.float32)
+    history0 = jnp.full((seg_cap, nbatch), jnp.nan, dtype=jnp.float32)
     if not cfg.use_min:
         best_loss, best_params = (), ()
     state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev, frozen,
@@ -472,12 +477,16 @@ def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
 
     def cond(state):
         step, _, _, _, frozen, _, _, _, _ = state
-        return jnp.logical_and(step < seg_len, ~jnp.all(frozen))
+        return jnp.logical_and(
+            step < seg_len + warmup_offset, ~jnp.all(frozen)
+        )
 
     def body(state):
         (step, params, opt_state, prev, frozen, nsteps_slice, best_loss,
          best_params, history) = state
-        gstep = step0 + step
+        idx = step - warmup_offset  # recorded-step index; -1 on the warm-up
+        rec = idx >= 0
+        gstep = step0 + idx
         losses, new_params, new_opt_state = one_step(params, opt_state)
 
         def keep_frozen(new, old):
@@ -491,63 +500,73 @@ def _batched_segment_impl(cfg: FitConfig, seg_len, one_step, nbatch, dtype,
         new_params = jax.tree_util.tree_map(keep_frozen, new_params, params)
         new_opt_state = jax.tree_util.tree_map(keep_frozen, new_opt_state, opt_state)
         # frozen slices re-evaluate to their converged loss; don't re-record
-        history = history.at[step].set(
-            jnp.where(frozen, history[step], losses.astype(jnp.float32))
+        # (and the warm-up iteration records nothing at all)
+        slot = jnp.maximum(idx, 0)
+        history = history.at[slot].set(
+            jnp.where(rec & ~frozen, losses.astype(jnp.float32), history[slot])
         )
         # the first recorded global step cannot trigger the tolerance stop
         # (parity with solver.fit._fit_segment / reference calibration.py:693)
         delta = jnp.where(gstep >= 1, jnp.abs(losses - prev), big)
-        newly = (~frozen) & (
+        newly = rec & (~frozen) & (
             jnp.logical_and(gstep >= 1, delta < cfg.tol) | ~jnp.isfinite(losses)
         )
         nsteps_slice = jnp.where(newly, gstep + 1, nsteps_slice)
         frozen = frozen | newly
+        new_prev = jnp.where(rec, losses, prev)
         if cfg.use_min:
-            # per-slice argmin tracking: select along the batch axis
-            is_best = losses < best_loss
-            best_loss = jnp.minimum(losses, best_loss)
+            # per-slice argmin tracking: select along the batch axis (the
+            # warm-up iteration leaves the incoming pre-warm-up snapshot,
+            # matching the old prologue: best_loss enters at `big`, so
+            # every slice's best is overwritten at its first recorded step)
+            is_best = rec & (losses < best_loss)
+            best_loss = jnp.where(is_best, losses, best_loss)
 
             def sel(new, old):
                 bshape = (nbatch,) + (1,) * (new.ndim - 1)
                 return jnp.where(is_best.reshape(bshape), new, old)
 
             best_params = jax.tree_util.tree_map(sel, new_params, best_params)
-        return (step + 1, new_params, new_opt_state, losses, frozen, nsteps_slice,
-                best_loss, best_params, history)
+        return (step + 1, new_params, new_opt_state, new_prev, frozen,
+                nsteps_slice, best_loss, best_params, history)
 
     (step, params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
      history) = jax.lax.while_loop(cond, body, state0)
+    recorded = jnp.maximum(step - warmup_offset, 0)
     return (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
-            history, step)
+            history, recorded)
 
 
-def _segment_fn(cfg: FitConfig, seg_len, warmup, chunks, data_r, data_i, wgts,
+def _segment_fn(cfg: FitConfig, seg_cap, chunks, data_r, data_i, wgts,
                 fg_r_const, fg_i_const, prior_r, prior_i, params,
                 opt_state, prev, frozen, nsteps_slice, best_loss,
-                best_params, step0):
+                best_params, step0, seg_len, warmup_offset):
     """The raw (untransformed) segment program shared by the jit entry
-    point and the AOT auto-layout executables (_segment_executable)."""
+    point and the AOT auto-layout executables (BatchedSegmentPlan)."""
     _, one_step = _batched_step_fn(
         cfg, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const, prior_r, prior_i
     )
     return _batched_segment_impl(
-        cfg, seg_len, one_step, prev.shape[0], prev.dtype, params, opt_state,
+        cfg, seg_cap, one_step, prev.shape[0], prev.dtype, params, opt_state,
         prev, frozen, nsteps_slice, best_loss, best_params, step0,
-        warmup=warmup,
+        seg_len=seg_len, warmup_offset=warmup_offset,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2),
-         donate_argnums=(11, 12, 13, 14, 15, 16, 17))
-def batched_fit_segment(cfg: FitConfig, seg_len, warmup, chunks, data_r,
+@partial(jax.jit, static_argnums=(0, 1),
+         donate_argnums=(10, 11, 12, 13, 14, 15, 16))
+def batched_fit_segment(cfg: FitConfig, seg_cap, chunks, data_r,
                         data_i, wgts, fg_r_const, fg_i_const, prior_r,
                         prior_i, params, opt_state, prev, frozen,
-                        nsteps_slice, best_loss, best_params, step0):
+                        nsteps_slice, best_loss, best_params, step0,
+                        seg_len, warmup_offset):
     """Checkpointable batched descent segment: carried state in and out so
     the host can persist it between segments (the batched counterpart of
-    solver.fit._fit_segment). ``warmup`` folds the fit's one unrecorded
-    warm-up step (reference calibration.py:693 parity) into the FIRST
-    segment's program — see _batched_segment_impl.
+    solver.fit._fit_segment). ``seg_len`` (recorded steps this call,
+    <= static ``seg_cap``) and ``warmup_offset`` (1 folds the fit's one
+    unrecorded warm-up step — reference calibration.py:693 parity — into
+    the first segment's call) are TRACED scalars so every segment of a
+    fit reuses ONE compiled program — see _batched_segment_impl.
 
     The carried state (params, optimizer state, freeze bookkeeping) is
     DONATED: at full-HERA many-poltime scale the coefficient+Adam-moment
@@ -558,9 +577,9 @@ def batched_fit_segment(cfg: FitConfig, seg_len, warmup, chunks, data_r,
     coefficients from params, and passing the same arrays both ways would
     donate buffers that are still referenced."""
     return _segment_fn(
-        cfg, seg_len, warmup, chunks, data_r, data_i, wgts, fg_r_const,
+        cfg, seg_cap, chunks, data_r, data_i, wgts, fg_r_const,
         fg_i_const, prior_r, prior_i, params, opt_state, prev, frozen,
-        nsteps_slice, best_loss, best_params, step0,
+        nsteps_slice, best_loss, best_params, step0, seg_len, warmup_offset,
     )
 
 
@@ -605,15 +624,16 @@ class BatchedSegmentPlan:
     propagate to the entry instead: temps drop to 2.7 GiB and the run
     fits on one chip.
 
-    The plan compiles the PRIMARY variant (main segment length, no
-    warm-up) with all-AUTO entry layouts, then pins every secondary
-    variant (the warm-up first segment, any partial final segment) to the
-    primary's chosen entry formats — so the carried descent state and the
-    cubes never relayout between segments. ``entry_formats`` exposes the
-    choice so the driver can move the big constant tensors into it ONCE,
-    rebinding its references (a lazily-relayouted cube would otherwise
-    live twice for the whole descent: the caller's default-layout original
-    plus the executable's copy).
+    The plan compiles ONE executable with all-AUTO entry layouts; the
+    segment length and warm-up offset are traced scalar arguments
+    (_batched_segment_impl), so the warm-up first segment and any partial
+    final segment run the SAME program — no per-variant recompiles (each
+    full-scale segment compile is minutes of single-core XLA wall-clock)
+    and no per-variant layout copies. ``entry_formats`` exposes the
+    layout choice so the driver can move the big constant tensors into it
+    ONCE, rebinding its references (a lazily-relayouted cube would
+    otherwise live twice for the whole descent: the caller's
+    default-layout original plus the executable's copy).
 
     Single-device only: mesh runs keep the jit path (per-device shards are
     a mesh-factor smaller, and AUTO layouts would have to be planned
@@ -621,39 +641,28 @@ class BatchedSegmentPlan:
     either way (_segment_fn), so trajectories are independent of the
     routing."""
 
-    def __init__(self, cfg: FitConfig, seg_len, args_sds):
+    def __init__(self, cfg: FitConfig, seg_cap, args_sds):
         self.cfg = cfg
-        self.seg_len = int(seg_len)
+        self.seg_cap = int(seg_cap)
         self._args_sds = args_sds
-        self._compiled = {}
-        primary = self._compile(self.seg_len, False, _auto_format(), _auto_format())
-        self._compiled[(self.seg_len, False)] = primary
-        self.entry_formats = primary.input_formats[0]
-        self.out_formats = primary.output_formats
-
-    def _compile(self, seg_len, warmup, in_shardings, out_shardings):
-        fn = partial(_segment_fn, self.cfg, seg_len, warmup)
+        fn = partial(_segment_fn, self.cfg, self.seg_cap)
         jitted = jax.jit(
             fn,
             donate_argnums=(8, 9, 10, 11, 12, 13, 14),
-            in_shardings=in_shardings,
-            out_shardings=out_shardings,
+            in_shardings=_auto_format(),
+            out_shardings=_auto_format(),
         )
-        return jitted.lower(*self._args_sds).compile()
+        self._compiled = jitted.lower(*args_sds).compile()
+        self.entry_formats = self._compiled.input_formats[0]
+        self.out_formats = self._compiled.output_formats
 
     def run(self, seg_len, warmup, args):
-        key = (int(seg_len), bool(warmup))
-        comp = self._compiled.get(key)
-        if comp is None:
-            # secondary variants pin BOTH entry and output formats to the
-            # primary's choice: donated carries require concrete matching
-            # in/out layouts, and pinned entries keep the cubes and the
-            # carried state from relayouting between segment executables
-            comp = self._compile(seg_len, warmup, self.entry_formats,
-                                 self.out_formats)
-            self._compiled[key] = comp
+        args = args + (
+            jnp.asarray(int(seg_len), jnp.int32),
+            jnp.asarray(1 if warmup else 0, jnp.int32),
+        )
         args = jax.tree_util.tree_map(_put_format, args, self.entry_formats)
-        return comp(*args)
+        return self._compiled(*args)
 
     def put_entries(self, index, tree):
         """device_put ``tree`` (matching entry slot ``index`` of the
@@ -712,6 +721,8 @@ def make_segment_plan(cfg: FitConfig, checkpoint_every, chunks, data_r, data_i,
         jax.ShapeDtypeStruct((nbatch,), jnp.int32),
         best_loss_sds, best_params_sds,
         jax.ShapeDtypeStruct((), jnp.int32),
+        jax.ShapeDtypeStruct((), jnp.int32),  # seg_len (traced)
+        jax.ShapeDtypeStruct((), jnp.int32),  # warmup_offset (traced)
     )
     seg = max(1, min(int(checkpoint_every), cfg.maxsteps))
     key = (cfg, seg, _aval_key(args_sds))
@@ -732,10 +743,10 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
     --checkpoint_dir silently).
 
     Semantics match batched_fit_core: same warm-up (folded into the first
-    segment's program via the ``warmup`` static — a separate warm-up
-    executable would pin its own entry-layout copies of the cubes at
-    many-poltime scale), per-slice freeze and argmin bookkeeping, global
-    step numbering. The FULL carried state — params, optimizer state,
+    segment's call via the traced ``warmup_offset`` scalar — a separate
+    warm-up executable would recompile the full-scale program and pin its
+    own entry-layout copies of the cubes at many-poltime scale), per-slice
+    freeze and argmin bookkeeping, global step numbering. The FULL carried state — params, optimizer state,
     per-slice prev/frozen/nsteps/best and the (step, nbatch) history —
     persists after every ``checkpoint_every`` steps via
     solver.checkpoint.save_state; an interrupted run resumed from the
@@ -839,7 +850,11 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         if plan is not None:
             out = plan.run(seg_len, warmup_pending, seg_args)
         else:
-            out = batched_fit_segment(cfg, seg_len, warmup_pending, *seg_args)
+            out = batched_fit_segment(
+                cfg, seg, *seg_args,
+                jnp.asarray(seg_len, jnp.int32),
+                jnp.asarray(1 if warmup_pending else 0, jnp.int32),
+            )
         warmup_pending = False
         (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
          hist_seg, nsteps_seg) = out

@@ -175,6 +175,7 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         loss_block_ngrps=args.loss_block_ngrps,
+        verbose=True,
     )
     t_fit = time.time() - t0
 

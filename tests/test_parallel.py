@@ -622,7 +622,11 @@ def test_auto_layout_plan_matches_jit_path(projected_multitime, monkeypatch):
         lj = np.asarray(hist_j[0][t]["loss"])
         # default comps_precision="mixed": both phases recorded, both routes
         assert len(la) == len(lj) == 300
-        np.testing.assert_allclose(la, lj, rtol=1e-5)
+        # the two routes compile different programs (dynamic-bound segment
+        # loop vs batched_fit_core's static loop): identical math, but f32
+        # fusion-order noise is visible once the loss reaches its ~1e-11
+        # convergence floor — hence the absolute-floor term
+        np.testing.assert_allclose(la, lj, rtol=1e-4, atol=1e-10)
     np.testing.assert_allclose(
         gains_a.gain_array, gains_j.gain_array, atol=1e-6, rtol=0
     )
@@ -630,8 +634,10 @@ def test_auto_layout_plan_matches_jit_path(projected_multitime, monkeypatch):
 
 def test_segment_plan_cache_reuse(projected_multitime):
     """Identical single-device fit signatures reuse one compiled layout
-    plan; the warm-up first segment and the main segment are distinct
-    compiled variants of it."""
+    plan, and a plan is ONE executable: segment length and warm-up are
+    traced scalars, so the warm-up first segment and any partial final
+    segment do not trigger per-variant recompiles (each full-scale
+    compile is minutes of single-core XLA wall-clock)."""
     from calamity_tpu.parallel.batched import _SEGMENT_PLAN_CACHE
 
     common = dict(
@@ -648,11 +654,8 @@ def test_segment_plan_cache_reuse(projected_multitime):
     n_after_first = len(_SEGMENT_PLAN_CACHE)
     assert n_after_first > 0
     # the cache is process-global: select this fit's plans by segment length
-    plans = [p for p in _SEGMENT_PLAN_CACHE.values() if p.seg_len == 40]
+    plans = [p for p in _SEGMENT_PLAN_CACHE.values() if p.seg_cap == 40]
     assert plans  # one per mixed-precision phase
-    for plan in plans:
-        # single segment of maxsteps: primary (40, False) + warm-up (40, True)
-        assert (40, False) in plan._compiled and (40, True) in plan._compiled
     calibration.calibrate_and_model_dpss(**common)
     assert len(_SEGMENT_PLAN_CACHE) == n_after_first
 
