@@ -839,8 +839,13 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         # first recorded step.)
         best_params = jax.tree_util.tree_map(jnp.copy, params)
 
+    # HOST-SIDE RULE for this loop: no eager jax ops and no lazy slices on
+    # the segment outputs — fetch whole arrays (np.asarray) and compute on
+    # the host. Plan outputs carry compiler-chosen layouts, and on
+    # relay-attached TPU backends an eagerly dispatched op on such an
+    # array errors (INVALID_ARGUMENT) or hangs; whole-array transfers work.
     seg = max(1, min(int(checkpoint_every), cfg.maxsteps))
-    while step_total < cfg.maxsteps and not bool(jnp.all(frozen)):
+    while step_total < cfg.maxsteps and not bool(np.asarray(frozen).all()):
         seg_len = min(seg, cfg.maxsteps - step_total)
         seg_args = (
             chunks, data_r, data_i, wgts, fg_rc, fg_ic, prior_r, prior_i,
@@ -863,7 +868,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             # every slice frozen on segment entry — nothing more to record
             break
         history_all = np.concatenate(
-            [history_all, np.asarray(hist_seg[:nsteps_seg], dtype=np.float32)]
+            [history_all, np.asarray(hist_seg, dtype=np.float32)[:nsteps_seg]]
         )
         step_total += nsteps_seg
         if checkpoint_dir is None:
@@ -883,11 +888,11 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         )
         echo(
             f"{datetime.datetime.now()} checkpointed batched fit at step "
-            f"{step_total} ({int(jnp.sum(frozen))}/{nbatch} slices frozen)",
+            f"{step_total} ({int(np.asarray(frozen).sum())}/{nbatch} slices frozen)",
             verbose=verbose,
         )
 
-    nsteps_slice = jnp.minimum(nsteps_slice, step_total)
+    nsteps_slice = np.minimum(np.asarray(nsteps_slice), step_total)
     out_params = best_params if cfg.use_min else params
     final = best_loss if cfg.use_min else prev
     if cfg.freeze_model:
