@@ -1,0 +1,233 @@
+"""Elastic supervision for long-running calibrations on remote TPU backends.
+
+The reference has no failure handling beyond skipping low-quality
+poltimes (SURVEY §5: "Failure detection / elastic recovery: none");
+its fits are short enough that a crash means rerunning one (time, pol).
+This framework's flagship configuration is different: a full-array
+many-poltime batched descent is a multi-hour run against a
+relay-attached TPU whose worker process can crash or restart underneath
+the client (observed: ``jax.errors.JaxRuntimeError: UNAVAILABLE: TPU
+worker process crashed or restarted`` mid-segment, after which the
+backend is unusable in-process and the relay can stay unresponsive for
+minutes).
+
+Recovery model: the checkpointed drivers already persist the FULL
+descent state every ``checkpoint_every`` steps and resume bit-exactly
+(solver.checkpoint, parallel.batched.batched_fit_checkpointed), so the
+correct recovery domain is the PROCESS — a crashed jax backend cannot be
+re-initialized in-process. The supervisor runs the calibration command
+as a child process, classifies its failures, waits for the device to
+answer a tiny subprocess probe again, and relaunches; the relaunched
+child picks up from the latest checkpoint (``resume`` defaults to True
+in every driver). Infrastructure outages become delays, not failures.
+
+Usage:
+    python -m calamity_tpu.supervisor [options] -- \
+        python examples/hera_full_demo.py --time_parallel \
+            --checkpoint_dir /ckpt --ntimes 8
+
+The supervised command MUST be resume-safe (``--checkpoint_dir`` set);
+the supervisor itself never initializes a jax backend in-process — the
+relay is effectively single-client, and a supervisor holding a TPU
+client would starve its own child. Probes run in short-lived
+subprocesses for the same reason (and so a wedged backend can be
+abandoned by timeout).
+"""
+
+from __future__ import annotations
+
+import datetime
+import subprocess
+import sys
+import time
+
+# Failure signatures that indicate the DEVICE or its transport died —
+# retryable once the device answers probes again. Anything else (python
+# exceptions, bad flags, OOM in our own host code) is a real failure and
+# must surface immediately rather than loop.
+TRANSIENT_PATTERNS = (
+    "TPU worker process crashed or restarted",
+    "UNAVAILABLE:",
+    "StatusCode.UNAVAILABLE",
+    "Socket closed",
+    "Connection reset by peer",
+    "failed to connect to all addresses",
+    "DEADLINE_EXCEEDED",
+)
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp, time
+x = jnp.full((128, 128), float(time.time() % 1000.0), jnp.float32)
+print(float(jnp.sum(x @ x)))
+"""
+
+
+def is_transient_device_failure(text: str) -> bool:
+    """Whether captured child output names a retryable device/transport
+    failure (vs a genuine program error)."""
+    return any(p in text for p in TRANSIENT_PATTERNS)
+
+
+def probe_device(timeout_s: float = 180.0) -> bool:
+    """Run a tiny matmul + host fetch in a fresh subprocess.
+
+    A fetch (not block_until_ready) is the completion criterion — relay
+    transports can report ready before the device finishes. Distinct
+    input values defeat relay execution caching. Returns False on
+    nonzero exit OR timeout (a wedged relay hangs probes rather than
+    refusing them)."""
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return res.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_device(
+    max_wait_s: float = 3600.0,
+    interval_s: float = 60.0,
+    probe_timeout_s: float = 180.0,
+    probe_fn=None,
+    echo=print,
+    sleep_fn=time.sleep,
+) -> bool:
+    """Poll until the device answers, up to ``max_wait_s`` of waiting."""
+    probe_fn = probe_fn or (lambda: probe_device(probe_timeout_s))
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        if probe_fn():
+            echo(f"{datetime.datetime.now()} device answering (attempt {attempt})")
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        echo(
+            f"{datetime.datetime.now()} device unresponsive "
+            f"(attempt {attempt}); retrying in {interval_s:.0f}s"
+        )
+        # count time spent inside the hung probe toward the interval
+        sleep_fn(max(0.0, interval_s - (time.monotonic() - t0)))
+
+
+def run_supervised(
+    argv,
+    max_restarts: int = 10,
+    max_wait_s: float = 3600.0,
+    interval_s: float = 60.0,
+    probe_timeout_s: float = 180.0,
+    tail_bytes: int = 65536,
+    probe_fn=None,
+    echo=print,
+    sleep_fn=time.sleep,
+    run_fn=None,
+) -> int:
+    """Run ``argv`` until it exits 0, restarting on transient device death.
+
+    The child's stdout/stderr stream through to this process's stdout
+    (line-buffered tee); the last ``tail_bytes`` are kept for failure
+    classification. Non-transient failures return the child's exit code
+    immediately. Returns 0 on success, the last exit code when restarts
+    are exhausted or the device never comes back.
+
+    ``probe_fn``/``run_fn``/``sleep_fn`` exist for tests (inject fakes);
+    production callers use the defaults."""
+
+    def default_run(argv):
+        proc = subprocess.Popen(
+            list(argv), stdout=subprocess.PIPE, stderr=subprocess.STDOUT
+        )
+        tail = b""
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            sys.stdout.buffer.write(line)
+            sys.stdout.buffer.flush()
+            tail = (tail + line)[-tail_bytes:]
+        proc.wait()
+        return proc.returncode, tail.decode("utf-8", errors="replace")
+
+    run_fn = run_fn or default_run
+    restarts = 0
+    while True:
+        echo(
+            f"{datetime.datetime.now()} supervisor: launching "
+            f"(restart {restarts}/{max_restarts}): {' '.join(map(str, argv))}"
+        )
+        code, tail = run_fn(argv)
+        if code == 0:
+            echo(f"{datetime.datetime.now()} supervisor: command succeeded")
+            return 0
+        if not is_transient_device_failure(tail):
+            echo(
+                f"{datetime.datetime.now()} supervisor: non-transient failure "
+                f"(exit {code}) — not retrying"
+            )
+            return code
+        if restarts >= max_restarts:
+            echo(
+                f"{datetime.datetime.now()} supervisor: transient failure but "
+                f"restart budget exhausted ({max_restarts})"
+            )
+            return code
+        restarts += 1
+        echo(
+            f"{datetime.datetime.now()} supervisor: transient device failure "
+            f"(exit {code}); waiting for the device before restart "
+            f"{restarts}/{max_restarts}"
+        )
+        if not wait_for_device(
+            max_wait_s=max_wait_s,
+            interval_s=interval_s,
+            probe_timeout_s=probe_timeout_s,
+            probe_fn=probe_fn,
+            echo=echo,
+            sleep_fn=sleep_fn,
+        ):
+            echo(
+                f"{datetime.datetime.now()} supervisor: device did not return "
+                f"within {max_wait_s:.0f}s — giving up"
+            )
+            return code
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m calamity_tpu.supervisor",
+        description="Restart a resume-safe calibration command across "
+        "transient TPU worker/relay failures (see module docstring).",
+    )
+    ap.add_argument("--max_restarts", type=int, default=10)
+    ap.add_argument("--max_wait", type=float, default=3600.0,
+                    help="seconds to wait for the device to answer probes "
+                         "after a transient failure")
+    ap.add_argument("--probe_interval", type=float, default=60.0)
+    ap.add_argument("--probe_timeout", type=float, default=180.0,
+                    help="per-probe subprocess timeout (hung relays hang "
+                         "probes rather than refusing them)")
+    ap.add_argument("command", nargs=argparse.REMAINDER,
+                    help="command to supervise (prefix with --)")
+    args = ap.parse_args(argv)
+    cmd = args.command
+    if cmd and cmd[0] == "--":
+        cmd = cmd[1:]
+    if not cmd:
+        ap.error("no command given (pass it after --)")
+    return run_supervised(
+        cmd,
+        max_restarts=args.max_restarts,
+        max_wait_s=args.max_wait,
+        interval_s=args.probe_interval,
+        probe_timeout_s=args.probe_timeout,
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--checkpoint_dir", default=None,
                     help="mid-fit checkpoint/resume directory (endurance runs)")
     ap.add_argument("--checkpoint_every", type=int, default=1000)
+    ap.add_argument("--steps_per_execution", type=int, default=None,
+                    help="bound a single device execution's step count "
+                         "(relay/infrastructure execution limits)")
     ap.add_argument("--loss_block_ngrps", type=int, default=None,
                     help="group-block size for the scanned batched loss "
                          "(bounds activation HBM at many times)")
@@ -174,6 +177,7 @@ def main():
         timings=timings,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
+        steps_per_execution=args.steps_per_execution,
         loss_block_ngrps=args.loss_block_ngrps,
         verbose=True,
     )

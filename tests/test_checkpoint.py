@@ -179,7 +179,7 @@ def test_latest_checkpoint_skips_unloadable_dirs(tmp_path):
 
 
 def _run_batched(uvd, ckdir, maxsteps, resume=True, comps_precision="float32",
-                 mesh=None):
+                 mesh=None, steps_per_execution=None):
     return calibration.calibrate_and_model_dpss(
         min_dly=2.0 / 0.3,
         offset=2.0 / 0.3,
@@ -196,6 +196,7 @@ def _run_batched(uvd, ckdir, maxsteps, resume=True, comps_precision="float32",
         checkpoint_every=50,
         resume=resume,
         comps_precision=comps_precision,
+        steps_per_execution=steps_per_execution,
     )
 
 
@@ -230,6 +231,68 @@ def test_batched_checkpoint_resume_bitexact_f32(tmp_path, projected_multitime):
     assert np.array_equal(model_a.data_array, model_b.data_array)
     # checkpoints exist under the batched subdirectory
     assert ckpt_mod.latest_checkpoint(os.path.join(ck_a, "batched")) is not None
+
+
+def test_steps_per_execution_invariance(tmp_path, projected_multitime):
+    """Bounding single device executions (steps_per_execution) changes
+    neither the trajectory nor the checkpoint cadence: seg_len is a traced
+    scalar, so sub-checkpoint_every calls reuse the same executable and
+    saves still land every checkpoint_every steps."""
+    ck_a = str(tmp_path / "a")
+    ck_b = str(tmp_path / "b")
+    model_a, resid_a, gains_a, hist_a = _run_batched(
+        projected_multitime, ck_a, maxsteps=120
+    )
+    model_b, resid_b, gains_b, hist_b = _run_batched(
+        projected_multitime, ck_b, maxsteps=120, steps_per_execution=7
+    )
+    for t in (0, 1):
+        la = np.asarray(hist_a[0][t]["loss"])
+        lb = np.asarray(hist_b[0][t]["loss"])
+        assert len(la) == len(lb) == 120
+        assert np.array_equal(la, lb)  # bit-exact, not just close
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+    assert np.array_equal(model_a.data_array, model_b.data_array)
+    # capped executions did NOT change the save cadence (checkpoint_every
+    # 50): saves at 50, 100, and the 120-step tail — same as uncapped
+    steps = sorted(
+        int(p.name.split("_")[1])
+        for p in (tmp_path / "b" / "batched").iterdir()
+        if p.name.startswith("step_")
+    )
+    steps_a = sorted(
+        int(p.name.split("_")[1])
+        for p in (tmp_path / "a" / "batched").iterdir()
+        if p.name.startswith("step_")
+    )
+    assert steps == steps_a == [50, 100, 120]
+    # uncheckpointed capped run (plan-routed) matches too
+    model_c, resid_c, gains_c, hist_c = _run_batched(
+        projected_multitime, None, maxsteps=120, steps_per_execution=7
+    )
+    for t in (0, 1):
+        assert np.array_equal(
+            np.asarray(hist_a[0][t]["loss"]), np.asarray(hist_c[0][t]["loss"])
+        )
+    assert np.array_equal(gains_a.gain_array, gains_c.gain_array)
+
+
+def test_steps_per_execution_rejected_off_batched_path(projected_multitime):
+    """The serial and warm-started-scan paths raise loudly instead of
+    silently ignoring the execution bound."""
+    with pytest.raises(ValueError, match="steps_per_execution"):
+        calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3, offset=2.0 / 0.3,
+            uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
+            steps_per_execution=5,
+        )
+    with pytest.raises(ValueError, match="steps_per_execution"):
+        calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3, offset=2.0 / 0.3,
+            uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
+            time_parallel=True, init_guesses_from_previous_time_step=True,
+            steps_per_execution=5,
+        )
 
 
 def test_batched_checkpoint_resume_mixed(tmp_path, projected_multitime):

@@ -1,0 +1,139 @@
+"""Tests for the elastic run supervisor (calamity_tpu.supervisor)."""
+
+import os
+import sys
+import textwrap
+
+import pytest
+
+from calamity_tpu import supervisor
+
+
+def test_transient_classification():
+    assert supervisor.is_transient_device_failure(
+        "jax.errors.JaxRuntimeError: UNAVAILABLE: TPU worker process "
+        "crashed or restarted."
+    )
+    assert supervisor.is_transient_device_failure(
+        "grpc error: Socket closed while reading"
+    )
+    assert not supervisor.is_transient_device_failure(
+        "ValueError: steps_per_execution bounds device-call length"
+    )
+    assert not supervisor.is_transient_device_failure(
+        "Traceback (most recent call last): KeyError: 'antenna 7'"
+    )
+
+
+def test_run_supervised_restarts_until_success():
+    """Two transient crashes, then success — supervisor retries through
+    both, probing between attempts, and returns 0."""
+    attempts = []
+    probes = []
+
+    def fake_run(argv):
+        attempts.append(list(argv))
+        if len(attempts) < 3:
+            return 1, "UNAVAILABLE: TPU worker process crashed or restarted"
+        return 0, "done"
+
+    code = supervisor.run_supervised(
+        ["cmd", "--flag"],
+        max_restarts=5,
+        run_fn=fake_run,
+        probe_fn=lambda: probes.append(1) or True,
+        echo=lambda *_: None,
+        sleep_fn=lambda *_: None,
+    )
+    assert code == 0
+    assert len(attempts) == 3
+    assert all(a == ["cmd", "--flag"] for a in attempts)
+    assert len(probes) == 2  # one wait_for_device round per restart
+
+
+def test_run_supervised_stops_on_real_failure():
+    """A non-transient failure surfaces immediately — no retries."""
+    attempts = []
+
+    def fake_run(argv):
+        attempts.append(1)
+        return 2, "ValueError: no such polarization in the weights file"
+
+    code = supervisor.run_supervised(
+        ["cmd"], max_restarts=5, run_fn=fake_run,
+        probe_fn=lambda: True, echo=lambda *_: None, sleep_fn=lambda *_: None,
+    )
+    assert code == 2
+    assert len(attempts) == 1
+
+
+def test_run_supervised_exhausts_budget():
+    def fake_run(argv):
+        return 1, "UNAVAILABLE: backend gone"
+
+    code = supervisor.run_supervised(
+        ["cmd"], max_restarts=2, run_fn=fake_run,
+        probe_fn=lambda: True, echo=lambda *_: None, sleep_fn=lambda *_: None,
+    )
+    assert code == 1
+
+
+def test_wait_for_device_gives_up(monkeypatch):
+    """An always-dead device exhausts max_wait_s (monotonic time faked so
+    the test is instant)."""
+    t = [0.0]
+
+    def fake_monotonic():
+        t[0] += 30.0
+        return t[0]
+
+    monkeypatch.setattr(supervisor.time, "monotonic", fake_monotonic)
+    ok = supervisor.wait_for_device(
+        max_wait_s=120.0, interval_s=10.0, probe_fn=lambda: False,
+        echo=lambda *_: None, sleep_fn=lambda *_: None,
+    )
+    assert not ok
+
+
+def test_end_to_end_subprocess_resume(tmp_path):
+    """Real child processes: the command crashes with a transient
+    signature until its state file accumulates enough 'checkpoints',
+    then succeeds — exercising the default run_fn (tee + tail capture)."""
+    state = tmp_path / "state"
+    script = tmp_path / "child.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        p = {str(state)!r}
+        n = int(open(p).read()) if os.path.exists(p) else 0
+        open(p, "w").write(str(n + 1))
+        if n + 1 < 3:
+            print("step", n + 1)
+            sys.stderr.write("UNAVAILABLE: TPU worker process crashed or restarted\\n")
+            sys.exit(1)
+        print("converged")
+    """))
+    code = supervisor.run_supervised(
+        [sys.executable, str(script)],
+        max_restarts=5,
+        probe_fn=lambda: True,
+        echo=lambda *_: None,
+        sleep_fn=lambda *_: None,
+    )
+    assert code == 0
+    assert state.read_text() == "3"
+
+
+def test_cli_requires_command(capsys):
+    with pytest.raises(SystemExit):
+        supervisor.main(["--max_restarts", "1"])
+
+
+def test_cli_passes_through(tmp_path):
+    marker = tmp_path / "ran"
+    code = supervisor.main(
+        ["--max_restarts", "0", "--",
+         sys.executable, "-c",
+         f"open({str(marker)!r}, 'w').write('y')"]
+    )
+    assert code == 0
+    assert marker.exists()
