@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--steps_per_execution", type=int, default=None,
                     help="bound a single device execution's step count "
                          "(relay/infrastructure execution limits)")
+    ap.add_argument("--prep_cache", default=None,
+                    help="directory caching the prepared inputs (corrupted "
+                         "data uvh5 + component dict). The ~hour of host "
+                         "prep at full scale then runs once; supervised "
+                         "relaunches (calamity_tpu.supervisor) reload in "
+                         "minutes")
     ap.add_argument("--loss_block_ngrps", type=int, default=None,
                     help="group-block size for the scanned batched loss "
                          "(bounds activation HBM at many times)")
@@ -84,6 +90,39 @@ def main():
     nbls = len(vecs)
     uniq, inverse = np.unique(np.round(vecs, 6), axis=0, return_inverse=True)
     stage(f"{nants} antennas, {nbls} baselines, {len(uniq)} unique spacings")
+
+    # prepared-input cache: at full scale the sim/basis/corrupt prep below
+    # is ~an hour of host time; supervised relaunches after a TPU-worker
+    # crash reload the finished inputs in minutes instead
+    cache_key = dict(rings=args.rings, pitch=args.pitch, nfreqs=args.nfreqs,
+                     nsrc=args.nsrc, ntimes=args.ntimes)
+    if args.prep_cache is not None:
+        meta_p = os.path.join(args.prep_cache, "meta.npz")
+        if os.path.isfile(meta_p):
+            meta = np.load(meta_p)
+            mismatch = {
+                k: (v, meta[k].item()) for k, v in cache_key.items()
+                if meta[k].item() != v
+            }
+            if mismatch:
+                raise SystemExit(
+                    f"--prep_cache {args.prep_cache} was built for a "
+                    f"different configuration: {mismatch}"
+                )
+            stage(f"loading prepared inputs from {args.prep_cache}")
+            t0 = time.time()
+            corrupted = VisData.from_uvh5(
+                os.path.join(args.prep_cache, "corrupted.uvh5")
+            )
+            comps = np.load(
+                os.path.join(args.prep_cache, "comps.npy"), allow_pickle=True
+            ).item()
+            t_sim = float(meta["t_sim"])
+            t_basis = float(meta["t_basis"])
+            stage(f"  loaded in {time.time() - t0:.0f}s")
+            run_fit(args, corrupted, comps, nants, nbls, len(uniq),
+                    t_sim, t_basis, jax, calibration, stage)
+            return
 
     stage("simulating + projecting per unique spacing")
     t0 = time.time()
@@ -144,6 +183,29 @@ def main():
     corrupted = cal_utils.apply_gains(uvd, truth, inverse=True)
     del uvd
 
+    if args.prep_cache is not None:
+        import os
+
+        stage(f"caching prepared inputs to {args.prep_cache}")
+        t0 = time.time()
+        os.makedirs(args.prep_cache, exist_ok=True)
+        corrupted.write_uvh5(
+            os.path.join(args.prep_cache, "corrupted.uvh5"), clobber=True
+        )
+        # the dict's matrices are shared objects (operator cache); pickle
+        # memoizes by identity so the file stays ~per-distinct-operator
+        np.save(os.path.join(args.prep_cache, "comps.npy"),
+                np.asarray(comps, dtype=object), allow_pickle=True)
+        np.savez(os.path.join(args.prep_cache, "meta.npz"),
+                 t_sim=t_sim, t_basis=t_basis, n_uniq=len(uniq), **cache_key)
+        stage(f"  cached in {time.time() - t0:.0f}s")
+
+    run_fit(args, corrupted, comps, nants, nbls, len(uniq),
+            t_sim, t_basis, jax, calibration, stage)
+
+
+def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
+            jax, calibration, stage):
     mesh = None
     if args.mesh is not None:
         from calamity_tpu.parallel.mesh import make_mesh
@@ -199,7 +261,7 @@ def main():
     rms = lambda x: np.sqrt(np.mean(np.abs(x) ** 2))
     nsteps = len(info[0][0]["loss"])
     print(f"\n=== full-HERA demo: {nants} ants / {nbls} baselines / "
-          f"{args.nfreqs} channels / {len(uniq)} unique spacings ===")
+          f"{args.nfreqs} channels / {n_uniq} unique spacings ===")
     print(f"sim+proj  : {t_sim:7.1f}s")
     print(f"basis     : {t_basis:7.1f}s")
     print(f"packing   : {timings.get('packing_s', float('nan')):7.2f}s "
