@@ -60,10 +60,16 @@ def main():
                          "prep at full scale then runs once; supervised "
                          "relaunches (calamity_tpu.supervisor) reload in "
                          "minutes")
+    ap.add_argument("--prep_only", action="store_true",
+                    help="build + cache the prepared inputs and exit "
+                         "without touching the device (fill the cache "
+                         "while the device is busy or down)")
     ap.add_argument("--loss_block_ngrps", type=int, default=None,
                     help="group-block size for the scanned batched loss "
                          "(bounds activation HBM at many times)")
     args = ap.parse_args()
+    if args.prep_only and args.prep_cache is None:
+        raise SystemExit("--prep_only requires --prep_cache")
 
     import os
 
@@ -109,6 +115,9 @@ def main():
                     f"--prep_cache {args.prep_cache} was built for a "
                     f"different configuration: {mismatch}"
                 )
+            if args.prep_only:
+                stage("prep_only: cache already present")
+                return
             stage(f"loading prepared inputs from {args.prep_cache}")
             t0 = time.time()
             corrupted = VisData.from_uvh5(
@@ -199,6 +208,10 @@ def main():
         np.savez(os.path.join(args.prep_cache, "meta.npz"),
                  t_sim=t_sim, t_basis=t_basis, n_uniq=len(uniq), **cache_key)
         stage(f"  cached in {time.time() - t0:.0f}s")
+
+    if args.prep_only:
+        stage("prep_only: done")
+        return
 
     run_fit(args, corrupted, comps, nants, nbls, len(uniq),
             t_sim, t_basis, jax, calibration, stage)
