@@ -908,10 +908,13 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         )
         step_total += nsteps_seg
         since_save += nsteps_seg
-        if checkpoint_dir is None or since_save < seg:
-            continue
-        save(step_total)
-        since_save = 0
+        if since_save >= seg:
+            # reset the cadence counter even without persistence so
+            # seg - since_save never pins seg_len at zero for callers
+            # passing checkpoint_every < maxsteps with no directory
+            if checkpoint_dir is not None:
+                save(step_total)
+            since_save = 0
     if checkpoint_dir is not None and since_save > 0:
         # partial tail (early freeze or a sub-checkpoint_every final
         # execution): persist so a resume re-enters at the true end state

@@ -106,10 +106,16 @@ def main():
         meta_p = os.path.join(args.prep_cache, "meta.npz")
         if os.path.isfile(meta_p):
             meta = np.load(meta_p)
+            # a cache built with MORE times serves a smaller run (select
+            # the leading subset) — the fallback path when a full
+            # many-times config exceeds the device
+            cached_nt = int(meta["ntimes"])
             mismatch = {
                 k: (v, meta[k].item()) for k, v in cache_key.items()
-                if meta[k].item() != v
+                if k != "ntimes" and meta[k].item() != v
             }
+            if args.ntimes > cached_nt:
+                mismatch["ntimes"] = (args.ntimes, cached_nt)
             if mismatch:
                 raise SystemExit(
                     f"--prep_cache {args.prep_cache} was built for a "
@@ -123,6 +129,10 @@ def main():
             corrupted = VisData.from_uvh5(
                 os.path.join(args.prep_cache, "corrupted.uvh5")
             )
+            if args.ntimes < cached_nt:
+                keep = np.unique(corrupted.time_array)[: args.ntimes]
+                corrupted.select(times=keep, inplace=True)
+                stage(f"  selected {args.ntimes} of {cached_nt} cached times")
             comps = np.load(
                 os.path.join(args.prep_cache, "comps.npy"), allow_pickle=True
             ).item()
