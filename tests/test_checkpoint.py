@@ -336,7 +336,9 @@ def test_batched_checkpoint_resume_sharded(tmp_path, projected_multitime):
     ck = str(tmp_path / "sh")
     _run_batched(projected_multitime, ck, maxsteps=60, mesh=mesh)
     model, resid, gains, hist = _run_batched(
-        projected_multitime, ck, maxsteps=200, mesh=mesh
+        # bounded executions compose with the mesh (jit route, plan=None)
+        projected_multitime, ck, maxsteps=200, mesh=mesh,
+        steps_per_execution=13,
     )
     assert len(hist[0][0]["loss"]) == 200
     assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
