@@ -883,6 +883,13 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
 
     while step_total < cfg.maxsteps and not bool(np.asarray(frozen).all()):
         seg_len = min(cap, seg - since_save, cfg.maxsteps - step_total)
+        if warmup_pending and steps_per_execution is not None:
+            # the folded warm-up iteration is a real device step: when the
+            # caller bounds execution length, the first call runs
+            # seg_len recorded + 1 warm-up iterations, so shrink seg_len
+            # to keep the bound honest (cap == 1 degenerates to a
+            # warm-up-only execution, handled below)
+            seg_len = max(0, seg_len - 1)
         seg_args = (
             chunks, data_r, data_i, wgts, fg_rc, fg_ic, prior_r, prior_i,
             params, opt_state, prev, frozen, nsteps_slice, best_loss,
@@ -896,11 +903,15 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
                 jnp.asarray(seg_len, jnp.int32),
                 jnp.asarray(1 if warmup_pending else 0, jnp.int32),
             )
+        was_warmup = warmup_pending
         warmup_pending = False
         (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
          hist_seg, nsteps_seg) = out
         nsteps_seg = int(nsteps_seg)
         if nsteps_seg == 0:
+            if was_warmup:
+                # warm-up-only first execution (steps_per_execution == 1)
+                continue
             # every slice frozen on segment entry — nothing more to record
             break
         history_all = np.concatenate(

@@ -41,6 +41,9 @@ import subprocess
 import sys
 import time
 
+# appended to the captured tail when the supervisor kills a silent child
+HANG_MARKER = "supervisor: child produced no output"
+
 # Failure signatures that indicate the DEVICE or its transport died —
 # retryable once the device answers probes again. Anything else (python
 # exceptions, bad flags, OOM in our own host code) is a real failure and
@@ -53,7 +56,14 @@ TRANSIENT_PATTERNS = (
     "Connection reset by peer",
     "failed to connect to all addresses",
     "DEADLINE_EXCEEDED",
+    HANG_MARKER,
 )
+
+# classification looks only at the END of the output: the fatal error is
+# the last thing a dying child prints, while RECOVERED transport warnings
+# (grpc retry chatter mentioning UNAVAILABLE) can sit anywhere earlier in
+# a long run's log without making its final, deterministic error retryable
+CLASSIFY_TAIL_BYTES = 8192
 
 _PROBE_SRC = """
 import jax, jax.numpy as jnp, time
@@ -63,9 +73,10 @@ print(float(jnp.sum(x @ x)))
 
 
 def is_transient_device_failure(text: str) -> bool:
-    """Whether captured child output names a retryable device/transport
-    failure (vs a genuine program error)."""
-    return any(p in text for p in TRANSIENT_PATTERNS)
+    """Whether the END of the captured child output names a retryable
+    device/transport failure (vs a genuine program error)."""
+    tail = text[-CLASSIFY_TAIL_BYTES:]
+    return any(p in tail for p in TRANSIENT_PATTERNS)
 
 
 def probe_device(timeout_s: float = 180.0) -> bool:
@@ -123,6 +134,7 @@ def run_supervised(
     interval_s: float = 60.0,
     probe_timeout_s: float = 180.0,
     tail_bytes: int = 65536,
+    hang_timeout_s: float | None = 3600.0,
     probe_fn=None,
     echo=print,
     sleep_fn=time.sleep,
@@ -136,21 +148,64 @@ def run_supervised(
     immediately. Returns 0 on success, the last exit code when restarts
     are exhausted or the device never comes back.
 
+    ``hang_timeout_s``: a wedged relay HANGS device calls rather than
+    failing them (observed: probes block indefinitely after a worker
+    crash), so a child that produces no output for this long is killed
+    and treated as a transient device failure — without this the
+    supervisor's recovery loop would never engage on the most common
+    failure shape. Size it above the longest legitimately silent phase
+    (full-scale XLA compiles are minutes; the default 1 h is generous).
+    ``None`` disables hang detection.
+
     ``probe_fn``/``run_fn``/``sleep_fn`` exist for tests (inject fakes);
     production callers use the defaults."""
 
     def default_run(argv):
+        import threading
+
         proc = subprocess.Popen(
             list(argv), stdout=subprocess.PIPE, stderr=subprocess.STDOUT
         )
-        tail = b""
-        assert proc.stdout is not None
-        for line in proc.stdout:
-            sys.stdout.buffer.write(line)
-            sys.stdout.buffer.flush()
-            tail = (tail + line)[-tail_bytes:]
-        proc.wait()
-        return proc.returncode, tail.decode("utf-8", errors="replace")
+        state = {"tail": b"", "last": time.monotonic()}
+        lock = threading.Lock()
+
+        def pump():
+            assert proc.stdout is not None
+            for line in proc.stdout:
+                sys.stdout.buffer.write(line)
+                sys.stdout.buffer.flush()
+                with lock:
+                    state["tail"] = (state["tail"] + line)[-tail_bytes:]
+                    state["last"] = time.monotonic()
+
+        reader = threading.Thread(target=pump, daemon=True)
+        reader.start()
+        hung = False
+        while True:
+            try:
+                proc.wait(timeout=5.0)
+                break
+            except subprocess.TimeoutExpired:
+                pass
+            if hang_timeout_s is not None:
+                with lock:
+                    silent = time.monotonic() - state["last"]
+                if silent >= hang_timeout_s:
+                    hung = True
+                    echo(
+                        f"{datetime.datetime.now()} {HANG_MARKER} for "
+                        f"{silent:.0f}s — killing it (assumed wedged device)"
+                    )
+                    proc.kill()
+                    proc.wait()
+                    break
+        reader.join(timeout=10.0)
+        tail = state["tail"].decode("utf-8", errors="replace")
+        if hung:
+            # classify as transient: the device probe gate decides when
+            # it is safe to relaunch
+            tail += f"\n{HANG_MARKER} (killed after {hang_timeout_s:.0f}s)\n"
+        return proc.returncode, tail
 
     run_fn = run_fn or default_run
     restarts = 0
@@ -212,6 +267,10 @@ def main(argv=None):
     ap.add_argument("--probe_timeout", type=float, default=180.0,
                     help="per-probe subprocess timeout (hung relays hang "
                          "probes rather than refusing them)")
+    ap.add_argument("--hang_timeout", type=float, default=3600.0,
+                    help="kill + retry the child if it prints nothing for "
+                         "this many seconds (wedged relays hang device "
+                         "calls); 0 disables")
     ap.add_argument("command", nargs=argparse.REMAINDER,
                     help="command to supervise (prefix with --)")
     args = ap.parse_args(argv)
@@ -226,6 +285,7 @@ def main(argv=None):
         max_wait_s=args.max_wait,
         interval_s=args.probe_interval,
         probe_timeout_s=args.probe_timeout,
+        hang_timeout_s=args.hang_timeout if args.hang_timeout > 0 else None,
     )
 
 

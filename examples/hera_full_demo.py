@@ -203,8 +203,6 @@ def main():
     del uvd
 
     if args.prep_cache is not None:
-        import os
-
         stage(f"caching prepared inputs to {args.prep_cache}")
         t0 = time.time()
         os.makedirs(args.prep_cache, exist_ok=True)
@@ -215,8 +213,12 @@ def main():
         # memoizes by identity so the file stays ~per-distinct-operator
         np.save(os.path.join(args.prep_cache, "comps.npy"),
                 np.asarray(comps, dtype=object), allow_pickle=True)
-        np.savez(os.path.join(args.prep_cache, "meta.npz"),
-                 t_sim=t_sim, t_basis=t_basis, n_uniq=len(uniq), **cache_key)
+        # meta is the cache-valid gate: written LAST and atomically, so an
+        # interrupted prep leaves no meta and the next run just rebuilds
+        tmp = os.path.join(args.prep_cache, "meta.tmp.npz")
+        np.savez(tmp, t_sim=t_sim, t_basis=t_basis, n_uniq=len(uniq),
+                 **cache_key)
+        os.replace(tmp, os.path.join(args.prep_cache, "meta.npz"))
         stage(f"  cached in {time.time() - t0:.0f}s")
 
     if args.prep_only:

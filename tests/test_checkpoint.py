@@ -277,6 +277,51 @@ def test_steps_per_execution_invariance(tmp_path, projected_multitime):
     assert np.array_equal(gains_a.gain_array, gains_c.gain_array)
 
 
+def test_steps_per_execution_counts_warmup():
+    """The folded warm-up iteration counts against the execution bound:
+    cap=1 degenerates to a warm-up-only first call and the trajectory
+    still matches batched_fit_core bit-exactly."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import (
+        batched_fit_checkpointed,
+        batched_fit_core,
+    )
+    from calamity_tpu.solver.fit import FitConfig
+
+    rng = np.random.default_rng(3)
+    nb, na, F, V, G = 2, 4, 16, 4, 6
+    chunk = (
+        jnp.asarray(rng.standard_normal((G, 1, F, V)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, na, (G, 1)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, na, (G, 1)).astype(np.int32)),
+    )
+    dr = jnp.asarray(rng.standard_normal((nb, G, 1, F)).astype(np.float32))
+    di = jnp.asarray(rng.standard_normal((nb, G, 1, F)).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.standard_normal((nb, G, 1, F))).astype(np.float32))
+
+    def params():
+        r = np.random.default_rng(7)
+        return (
+            jnp.ones((nb, na, F), jnp.float32),
+            jnp.zeros((nb, na, F), jnp.float32),
+            (jnp.asarray(r.standard_normal((nb, G, V)).astype(np.float32)),),
+            (jnp.asarray(r.standard_normal((nb, G, V)).astype(np.float32)),),
+        )
+
+    cfg = FitConfig(maxsteps=12, tol=0.0)
+    pz = jnp.zeros((nb,), jnp.float32)
+    ref = batched_fit_core(cfg, (chunk,), (dr,), (di,), (w,), *params(), pz, pz)
+    href = np.asarray(ref.loss_history)
+    for cap in (1, 2):
+        res = batched_fit_checkpointed(
+            cfg, (chunk,), (dr,), (di,), (w,), *params(), pz, pz,
+            None, 12, False, False, steps_per_execution=cap,
+        )
+        assert int(res.nsteps) == 12
+        assert np.array_equal(np.asarray(res.loss_history)[:12], href[:12])
+
+
 def test_steps_per_execution_rejected_off_batched_path(projected_multitime):
     """The serial and warm-started-scan paths raise loudly instead of
     silently ignoring the execution bound."""

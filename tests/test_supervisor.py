@@ -123,6 +123,50 @@ def test_end_to_end_subprocess_resume(tmp_path):
     assert state.read_text() == "3"
 
 
+def test_classification_window_is_the_tail():
+    """Recovered transport chatter EARLY in a long log must not make a
+    later deterministic failure retryable; the same text at the end
+    must."""
+    early_noise = "W grpc StatusCode.UNAVAILABLE, retrying...\n"
+    real_error = "Traceback...\nValueError: bad checkpoint structure\n"
+    padding = "step log line\n" * 2000  # > CLASSIFY_TAIL_BYTES
+    assert not supervisor.is_transient_device_failure(
+        early_noise + padding + real_error
+    )
+    assert supervisor.is_transient_device_failure(
+        padding + "UNAVAILABLE: TPU worker process crashed or restarted\n"
+    )
+
+
+def test_hang_detection_kills_and_retries():
+    """A child that goes silent (wedged device call) is killed after
+    hang_timeout_s and classified as transient; the relaunch succeeds."""
+    import textwrap as tw
+    import tempfile
+
+    state = tempfile.mktemp()
+    script = (
+        "import os, sys, time\n"
+        f"p = {state!r}\n"
+        "first = not os.path.exists(p)\n"
+        "open(p, 'w').write('x')\n"
+        "if first:\n"
+        "    print('starting', flush=True)\n"
+        "    time.sleep(600)\n"  # wedged: no output, never exits
+        "print('converged', flush=True)\n"
+    )
+    code = supervisor.run_supervised(
+        [sys.executable, "-c", script],
+        max_restarts=2,
+        hang_timeout_s=3.0,
+        probe_fn=lambda: True,
+        echo=lambda *_: None,
+        sleep_fn=lambda *_: None,
+    )
+    assert code == 0
+    os.unlink(state)
+
+
 def test_cli_requires_command(capsys):
     with pytest.raises(SystemExit):
         supervisor.main(["--max_restarts", "1"])
