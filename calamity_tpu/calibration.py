@@ -185,6 +185,19 @@ def get_auto_weights(uvdata, delay_extent=25.0):
     return data_weights
 
 
+def resolve_comps_precision(dtype, warm_started):
+    """Default ``comps_precision`` for a fit configuration.
+
+    "mixed" (the measured-best schedule, docs/BF16_COMPS.md) for float32
+    fits, except: float64 fits store the basis in float32 (native
+    precision), and warm-started fits (``init_guesses_from_previous_time_
+    step``, serial or scanned) stay float32 — their short per-time
+    descents interleave badly with a two-phase precision schedule."""
+    if np.dtype(dtype) == np.float64 or warm_started:
+        return "float32"
+    return "mixed"
+
+
 def calibrate_and_model_tensor(
     uvdata,
     fg_model_comps_dict,
@@ -252,17 +265,14 @@ def calibrate_and_model_tensor(
     descent + float32 polish with carried optimizer state reaches the full
     f32 convergence floor at lower total cost — docs/BF16_COMPS.md), and
     "float32" (native-precision basis storage) for float64 fits and for
-    the warm-started sequential time scan (whose per-time descents are
-    short and would interleave badly with a two-phase precision schedule).
-    Pass an explicit mode to override.
+    warm-started fits (``init_guesses_from_previous_time_step``, serial
+    or scanned, whose short per-time descents would interleave badly with
+    a two-phase precision schedule). Pass an explicit mode to override.
     """
     if comps_precision is None:
-        if np.dtype(dtype) == np.float64:
-            comps_precision = "float32"
-        elif time_parallel and init_guesses_from_previous_time_step:
-            comps_precision = "float32"
-        else:
-            comps_precision = "mixed"
+        comps_precision = resolve_comps_precision(
+            dtype, init_guesses_from_previous_time_step
+        )
 
     antpairs_data = uvdata.get_antpairs()
     if not include_autos:
@@ -294,8 +304,6 @@ def calibrate_and_model_tensor(
 
     ants_map = {int(ant): i for i, ant in enumerate(gains.ant_array)}
     echo(f"{datetime.datetime.now()} Packing foreground modeling tensors...\n", verbose=verbose)
-    import time as _time
-
     _t0 = _time.time()
     spec = FitSpec(
         uvdata,
@@ -325,6 +333,16 @@ def calibrate_and_model_tensor(
         # the batched time-parallel descent only
         raise ValueError(
             "steps_per_execution bounds device-call length on the batched "
+            "time_parallel path only; the serial and warm-started-scan "
+            "paths do not support it"
+        )
+    if loss_block_ngrps is not None and (
+        not time_parallel or init_guesses_from_previous_time_step
+    ):
+        # same dropped-flag class: group-blocked loss evaluation is
+        # implemented for the batched time-parallel descent only
+        raise ValueError(
+            "loss_block_ngrps blocks the loss over groups on the batched "
             "time_parallel path only; the serial and warm-started-scan "
             "paths do not support it"
         )
@@ -660,7 +678,10 @@ def _calibrate_time_scan(
     if use_pallas:
         from .ops.fused import warn_pallas_fallbacks
 
-        warn_pallas_fallbacks(chunks)
+        # warn against the chunks the fit actually runs (mesh-padded,
+        # descent dtype) — padding changes the group count the kernel's
+        # tile gate sees, and bf16 conversion changes the dtype gate
+        warn_pallas_fallbacks(fit_chunks)
     profiled = False
     for polnum, pol in enumerate(uvdata.get_pols()):
         usable = []  # (time_index, time, rms)
@@ -819,7 +840,7 @@ def _calibrate_time_scan(
                 ):
                     tree, scal = load_state(
                         _os.path.join(ck, f"step_{start_slot + 1}"),
-                        {"carry": carry_like, "out": carry_like},
+                        {"out": carry_like},
                         ("history", "nsteps"),
                     )
                     put_back = lambda like, x: (
@@ -827,15 +848,11 @@ def _calibrate_time_scan(
                         if getattr(like, "committed", False)
                         else x
                     )
-                    carry = jax.tree_util.tree_map(put_back, carry_like, tree["carry"])
+                    # the warm-start carry IS the completed time's solution
+                    # (carry = out_t below) — one stored copy serves both
+                    carry = jax.tree_util.tree_map(put_back, carry_like, tree["out"])
                     outputs.append(
-                        (
-                            jax.tree_util.tree_map(
-                                put_back, carry_like, tree["out"]
-                            ),
-                            np.asarray(scal["history"]),
-                            int(scal["nsteps"]),
-                        )
+                        (carry, np.asarray(scal["history"]), int(scal["nsteps"]))
                     )
                     start_slot += 1
                 if start_slot:
@@ -859,7 +876,7 @@ def _calibrate_time_scan(
                 )
                 save_state(
                     _os.path.join(ck, f"step_{slot + 1}"),
-                    {"carry": carry, "out": out_t},
+                    {"out": out_t},
                     {"history": np.asarray(hist_t[0]), "nsteps": int(nst_t[0])},
                 )
                 echo(

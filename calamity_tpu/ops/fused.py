@@ -86,17 +86,13 @@ def _pick_tile(ngrps, nfreqs, nvecs, dtype_bytes=4, vmem_budget=_VMEM_LIMIT // 3
 
 
 def fused_loss_applicable(comps):
-    """Whether the fused kernel supports this chunk's shape/platform."""
-    if jax.default_backend() not in ("tpu", "cpu"):  # cpu -> interpret mode
-        return False
-    ngrps, nbls, nfreqs, nvecs = comps.shape
-    return (
-        nbls == 1
-        and comps.dtype in _COMPS_DTYPES
-        and nfreqs % 128 == 0
-        and nvecs % 128 == 0
-        and _pick_tile(ngrps, nfreqs, nvecs, comps.dtype.itemsize) is not None
-    )
+    """Whether the fused kernel supports this chunk's shape/platform.
+
+    One predicate, shared with the fallback warning: the gate IS
+    ``explain_fused_loss_inapplicable`` returning no reason (callers
+    check the dense-layout condition — comps' leading axis matching the
+    chunk's flat group count — separately, so it is vacuous here)."""
+    return explain_fused_loss_inapplicable(comps, comps.shape[0]) is None
 
 
 def explain_fused_loss_inapplicable(comps, ngrps):

@@ -119,10 +119,14 @@ class BltTable:
         found only in the reversed orientation. Raises KeyError naming the
         first missing pair."""
         aps = np.asarray(antpairs, dtype=np.int64)
+        # antennas outside [0, M) cannot be in the table, and their a*M+b
+        # keys would COLLIDE with in-range pairs' keys — reject them up
+        # front rather than letting _find alias them to another baseline
+        valid = np.all((aps >= 0) & (aps < self.M), axis=-1)
         kf = aps[..., 0] * self.M + aps[..., 1]
         kr = aps[..., 1] * self.M + aps[..., 0]
-        i_f = self._find(kf.ravel()).reshape(kf.shape)
-        i_r = self._find(kr.ravel()).reshape(kr.shape)
+        i_f = np.where(valid, self._find(kf.ravel()).reshape(kf.shape), -1)
+        i_r = np.where(valid, self._find(kr.ravel()).reshape(kr.shape), -1)
         conj = (i_f < 0) & (i_r >= 0)
         sel = np.where(conj, i_r, i_f)
         if np.any(sel < 0):

@@ -171,11 +171,17 @@ def run_supervised(
 
         def pump():
             assert proc.stdout is not None
-            for line in proc.stdout:
-                sys.stdout.buffer.write(line)
+            # read1 (not line iteration): ANY bytes count as liveness, so a
+            # child whose only output is \r-updating progress bars is not
+            # killed as hung while it waits for its first newline
+            while True:
+                chunk = proc.stdout.read1(65536)
+                if not chunk:
+                    break
+                sys.stdout.buffer.write(chunk)
                 sys.stdout.buffer.flush()
                 with lock:
-                    state["tail"] = (state["tail"] + line)[-tail_bytes:]
+                    state["tail"] = (state["tail"] + chunk)[-tail_bytes:]
                     state["last"] = time.monotonic()
 
         reader = threading.Thread(target=pump, daemon=True)

@@ -282,6 +282,19 @@ def test_weighted_pack_uses_cached_row_table(sky_model_projected, dpss_vectors, 
     assert spec._wrows_cache[0] is w2
 
 
+def test_resolve_comps_precision_defaults():
+    """comps_precision=None resolves to float32 for ANY warm-started fit
+    (serial or scanned — short per-time descents interleave badly with
+    the two-phase schedule) and for f64; mixed otherwise (review r3: the
+    serial warm-started path was silently getting mixed)."""
+    from calamity_tpu.calibration import resolve_comps_precision
+
+    assert resolve_comps_precision(np.float32, False) == "mixed"
+    assert resolve_comps_precision(np.float32, True) == "float32"
+    assert resolve_comps_precision(np.float64, False) == "float32"
+    assert resolve_comps_precision(np.float64, True) == "float32"
+
+
 def test_blt_table_lookup_semantics():
     """BltTable (the vectorized packing lookup) resolves forward /
     conjugated / missing pairs and irregular time counts like the
@@ -300,6 +313,13 @@ def test_blt_table_lookup_semantics():
     assert rows[:, 1].tolist() == [1, 3]
     with pytest.raises(KeyError, match="not present"):
         t.lookup_pairs(np.asarray([[0, 3]]))
+    # antennas outside the table's range must raise, never alias: with
+    # M=4, (0,6) has key 0*4+6 == key of (1,2) — a silent collision would
+    # fit another baseline's rows (review r3)
+    with pytest.raises(KeyError, match="not present"):
+        t.lookup_pairs(np.asarray([[0, 6]]))
+    with pytest.raises(KeyError, match="not present"):
+        t.lookup_pairs(np.asarray([[-1, 1]]))
     with pytest.raises(ValueError, match="irregular"):
         t.rows_matrix(sel, 2)  # (2,3) occurs once
 

@@ -340,6 +340,25 @@ def test_steps_per_execution_rejected_off_batched_path(projected_multitime):
         )
 
 
+def test_loss_block_rejected_off_batched_path(projected_multitime):
+    """loss_block_ngrps is implemented for the batched time-parallel
+    descent only; the other paths raise instead of silently dropping the
+    activation-HBM bound (review r3)."""
+    with pytest.raises(ValueError, match="loss_block_ngrps"):
+        calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3, offset=2.0 / 0.3,
+            uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
+            loss_block_ngrps=4,
+        )
+    with pytest.raises(ValueError, match="loss_block_ngrps"):
+        calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3, offset=2.0 / 0.3,
+            uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
+            time_parallel=True, init_guesses_from_previous_time_step=True,
+            loss_block_ngrps=4,
+        )
+
+
 def test_batched_checkpoint_resume_mixed(tmp_path, projected_multitime):
     """Mixed-precision batched descent with checkpointing: phase dirs are
     written, a resume with completed bf16 checkpoints skips phase 1 and

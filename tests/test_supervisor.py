@@ -167,6 +167,29 @@ def test_hang_detection_kills_and_retries():
     os.unlink(state)
 
 
+def test_carriage_return_output_counts_as_liveness():
+    """A child whose only output is \\r-updating progress (tqdm-style,
+    no newline until the end) must NOT be killed as hung: liveness counts
+    raw bytes, not newline-terminated lines (review r3)."""
+    script = (
+        "import sys, time\n"
+        "for i in range(6):\n"
+        "    sys.stdout.write(f'\\rprogress {i}')\n"
+        "    sys.stdout.flush()\n"
+        "    time.sleep(1.0)\n"
+        "print('\\nconverged', flush=True)\n"
+    )
+    code = supervisor.run_supervised(
+        [sys.executable, "-c", script],
+        max_restarts=0,  # any hang-kill would exhaust restarts -> nonzero
+        hang_timeout_s=3.0,  # shorter than the 6 s run, longer than 1 s gaps
+        probe_fn=lambda: True,
+        echo=lambda *_: None,
+        sleep_fn=lambda *_: None,
+    )
+    assert code == 0
+
+
 def test_cli_requires_command(capsys):
     with pytest.raises(SystemExit):
         supervisor.main(["--max_restarts", "1"])
