@@ -12,6 +12,7 @@ Discriminates:
 - no crash at all                      -> specific to the real 18-chunk
   program (footprint delta, chunk count, or driver-side state)
 """
+import argparse
 import time
 import numpy as np
 import jax
@@ -41,13 +42,24 @@ def mem():
 # nu unique operators x gmax baselines each, nbls=1 per group.
 # ngrps 75,776 ~ the real run's padded 75,748 groups; loss_block=2048 is
 # the endurance configuration (docs/DESIGN.md HBM table: 13.3 GiB peak).
-nbatch, nu, gmax, nf, nv, nants = 8, 592, 128, 1536, 128, 331
+# --nbatch/--loss_block/--ladder bisect the footprint when the full
+# configuration kills the worker (HBM headroom vs execution length).
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--nbatch", type=int, default=8,
+                 help="poltime slices (args scale linearly with this)")
+_ap.add_argument("--loss_block", type=int, default=2048,
+                 help="group-block size for the batched loss")
+_ap.add_argument("--ladder", default="5,20,100,500",
+                 help="comma-separated recorded-step segment lengths")
+_args = _ap.parse_args()
+ladder = [int(s) for s in _args.ladder.split(",") if s]
+nbatch, nu, gmax, nf, nv, nants = _args.nbatch, 592, 128, 1536, 128, 331
 ngrps = nu * gmax
 maxsteps = 1000
 cfg = FitConfig(optimizer="Adamax", opt_kwargs=(("learning_rate", 0.01),),
                 maxsteps=maxsteps, tol=0.0, use_min=False, freeze_model=False,
                 regularization=None, use_pallas=False, remat=True,
-                loss_block=2048)
+                loss_block=_args.loss_block)
 rng = np.random.default_rng(int(time.time()) % 100000)
 
 stage(f"devices: {jax.devices()}")
@@ -72,7 +84,7 @@ jax.block_until_ready(dr)
 stage(f"uploaded; {mem()}")
 
 t0 = time.time()
-plan = make_segment_plan(cfg, 500, chunks, (dr,), (di,), (w,), gr, fr, pr)
+plan = make_segment_plan(cfg, max(ladder), chunks, (dr,), (di,), (w,), gr, fr, pr)
 stage(f"plan compiled in {time.time() - t0:.1f}s; {mem()}")
 
 # rebind the big constants into the plan's entry layouts ONCE (driver
@@ -93,7 +105,7 @@ frozen = jnp.zeros((nbatch,), bool)
 nsl = jnp.full((nbatch,), maxsteps, jnp.int32)
 step0 = 0
 warmup = True
-for seg_len in [5, 20, 100, 500]:
+for seg_len in ladder:
     stage(f"running segment seg_len={seg_len} (warmup={warmup})")
     args = (chunks, (dr,), (di,), (w,), (), (), pr, pr, params, opt_state,
             prev, frozen, nsl, (), (), jnp.asarray(step0, jnp.int32))
