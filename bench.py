@@ -200,6 +200,33 @@ def bench_reference_pattern(inputs, nsteps, lr=1e-2):
 
 
 def main():
+    import os
+    import sys
+
+    # Gate on a subprocess device probe BEFORE any in-process jax use: a
+    # wedged relay HANGS backend init rather than failing it, which would
+    # hang the whole benchmark with no way to recover in-process. A
+    # transient outage (observed: minutes after a worker crash) becomes a
+    # bounded wait; a dead device becomes a loud nonzero exit instead of
+    # a silent hang. BENCH_DEVICE_WAIT_S=0 skips the gate.
+    budget = float(os.environ.get("BENCH_DEVICE_WAIT_S", "900"))
+    if budget > 0:
+        from calamity_tpu.supervisor import wait_for_device
+
+        if not wait_for_device(
+            max_wait_s=budget,
+            interval_s=60.0,
+            probe_timeout_s=180.0,
+            echo=lambda s: print(f"# bench: {s}", file=sys.stderr, flush=True),
+        ):
+            print(
+                f"# bench: device did not answer a probe within {budget:.0f}s"
+                " — refusing to start (set BENCH_DEVICE_WAIT_S to adjust)",
+                file=sys.stderr,
+                flush=True,
+            )
+            raise SystemExit(1)
+
     import jax
 
     backend = jax.default_backend()
