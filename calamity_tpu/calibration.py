@@ -234,6 +234,7 @@ def calibrate_and_model_tensor(
     use_pallas=False,
     remat=False,
     comps_precision=None,
+    patience=0,
     nvec_bucketing=False,
     shared_basis=True,
     loss_block_ngrps=None,
@@ -259,6 +260,15 @@ def calibrate_and_model_tensor(
       devices; batch and group axes are zero-padded to mesh multiples.
 
     Returns (model, resid, gains, fit_history).
+
+    ``patience``: stop a fit (or freeze a batched slice) when the loss has
+    not reached a new minimum for this many steps; 0 (default) disables,
+    preserving exact reference semantics. Realistic fits end on an
+    OSCILLATING plateau the |delta loss| < tol stop never detects (Adam-
+    family momentum orbits the minimum — docs/DESIGN.md "Patience
+    stopping"); patience converts those wasted steps into an early stop.
+    Combine with ``use_min=True`` so the returned state is the tracked
+    argmin rather than a point on the oscillation.
 
     ``comps_precision=None`` (the default) resolves to the measured-best
     schedule for the configuration: "mixed" for float32 fits (bf16 bulk
@@ -386,6 +396,7 @@ def calibrate_and_model_tensor(
                 use_pallas=use_pallas,
                 remat=remat,
                 comps_precision=comps_precision,
+                patience=patience,
                 verbose=verbose,
                 opt_kwargs=opt_kwargs,
                 checkpoint_dir=checkpoint_dir,
@@ -419,6 +430,7 @@ def calibrate_and_model_tensor(
             use_pallas=use_pallas,
             remat=remat,
             comps_precision=comps_precision,
+            patience=patience,
             verbose=verbose,
             opt_kwargs=opt_kwargs,
             checkpoint_dir=checkpoint_dir,
@@ -537,6 +549,7 @@ def calibrate_and_model_tensor(
                 use_pallas=use_pallas,
                 remat=remat,
                 comps_precision=comps_precision,
+                patience=patience,
                 **opt_kwargs,
             )
             spec.insert_model(
@@ -595,6 +608,7 @@ def _calibrate_time_scan(
     comps_precision,
     verbose,
     opt_kwargs,
+    patience=0,
     checkpoint_dir=None,
     checkpoint_every=1000,
     resume=True,
@@ -674,6 +688,7 @@ def _calibrate_time_scan(
         regularization="sum" if model_regularization == "sum" else None,
         use_pallas=bool(use_pallas),
         remat=bool(remat),
+        patience=int(patience),
     )
     if use_pallas:
         from .ops.fused import warn_pallas_fallbacks
@@ -807,7 +822,7 @@ def _calibrate_time_scan(
             profiled = True
             _os.makedirs(profile_log_dir, exist_ok=True)
             jax.profiler.start_trace(profile_log_dir)
-            prof_cfg = cfg._replace(maxsteps=int(n_profile_steps), tol=0.0)
+            prof_cfg = cfg._replace(maxsteps=int(n_profile_steps), tol=0.0, patience=0)
             prof_res = scanned_warmstart_fit_core(
                 prof_cfg, fit_chunks,
                 tuple(x[:1] for x in data_r_s), tuple(x[:1] for x in data_i_s),
@@ -1039,6 +1054,7 @@ def _calibrate_time_parallel(
     comps_precision,
     verbose,
     opt_kwargs,
+    patience=0,
     checkpoint_dir=None,
     checkpoint_every=1000,
     resume=True,
@@ -1323,6 +1339,7 @@ def _calibrate_time_parallel(
         regularization="sum" if model_regularization == "sum" else None,
         use_pallas=bool(use_pallas),
         remat=bool(remat),
+        patience=int(patience),
         loss_block=None if loss_block_ngrps is None else int(loss_block_ngrps),
     )
     if use_pallas:
@@ -1413,7 +1430,7 @@ def _calibrate_time_parallel(
 
         _os.makedirs(profile_log_dir, exist_ok=True)
         jax.profiler.start_trace(profile_log_dir)
-        prof_cfg = cfg._replace(maxsteps=int(n_profile_steps), tol=0.0)
+        prof_cfg = cfg._replace(maxsteps=int(n_profile_steps), tol=0.0, patience=0)
         prof_chunks = (
             fit_chunks_lo if comps_precision in ("bfloat16", "mixed") else fit_chunks
         )
@@ -1901,6 +1918,12 @@ def fitting_argparser():
     sp.add_argument("--verbose", default=False, action="store_true")
     sp.add_argument("--use_min", default=False, action="store_true",
                     help="Return the argmin-loss parameters (guards momentum overshoot).")
+    sp.add_argument("--patience", type=int, default=0,
+                    help="Stop (or freeze a batched slice) when the loss has "
+                         "not reached a new minimum for this many steps; 0 "
+                         "disables. The |delta loss| tol stop never fires on "
+                         "an oscillating plateau — combine with --use_min so "
+                         "the returned state is the tracked argmin.")
     sp.add_argument("--use_redundancy", default=False, action="store_true",
                     help="Share foreground coefficients within redundant groups.")
     # BooleanOptionalAction so the True-default is actually disableable

@@ -340,15 +340,18 @@ def scanned_warmstart_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts,
 
         _, p, opt_state = one_step(p0, opt_state)  # warm-up step
         history0 = jnp.full((cfg.maxsteps,), jnp.nan, dtype=dtype)
-        state0 = (jnp.asarray(0, jnp.int32), p, opt_state, big, big, big, p, history0)
+        state0 = (jnp.asarray(0, jnp.int32), p, opt_state, big, big, big, p,
+                  history0, jnp.asarray(0, jnp.int32))
 
         def cond(state):
-            step, _, _, prev, delta, _, _, _ = state
+            step, _, _, prev, delta, _, _, _, since = state
             ok = jnp.logical_and(step < cfg.maxsteps, delta >= cfg.tol)
+            if cfg.patience > 0:
+                ok = jnp.logical_and(ok, since < cfg.patience)
             return jnp.logical_and(ok, jnp.isfinite(prev))
 
         def body(state):
-            step, p, s, prev, _, best_loss, best_p, history = state
+            step, p, s, prev, _, best_loss, best_p, history, since = state
             loss, new_p, new_s = one_step(p, s)
             history = history.at[step].set(loss.astype(dtype))
             delta = jnp.where(step >= 1, jnp.abs(loss - prev), big)
@@ -357,9 +360,11 @@ def scanned_warmstart_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts,
             best_p = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(is_best, a, b), new_p, best_p
             )
-            return (step + 1, new_p, new_s, loss, delta, best_loss, best_p, history)
+            since = jnp.where(is_best, 0, since + 1)
+            return (step + 1, new_p, new_s, loss, delta, best_loss, best_p,
+                    history, since)
 
-        step, p, _, last, _, best_loss, best_p, history = jax.lax.while_loop(
+        step, p, _, last, _, best_loss, best_p, history, _ = jax.lax.while_loop(
             cond, body, state0
         )
         out_p = best_p if cfg.use_min else p
@@ -437,8 +442,8 @@ def _batched_step_fn(cfg: FitConfig, chunks, data_r, data_i, wgts, fg_r, fg_i,
 
 def _batched_segment_impl(cfg: FitConfig, seg_cap, one_step, nbatch, dtype,
                           params, opt_state, prev, frozen, nsteps_slice,
-                          best_loss, best_params, step0, seg_len=None,
-                          warmup_offset=0):
+                          best_loss, best_params, since_best, step0,
+                          seg_len=None, warmup_offset=0):
     """Up to ``seg_len`` (<= static ``seg_cap``) recorded batched descent
     steps from explicit carried state.
 
@@ -470,20 +475,28 @@ def _batched_segment_impl(cfg: FitConfig, seg_cap, one_step, nbatch, dtype,
     warmup_offset = jnp.asarray(warmup_offset, jnp.int32)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     history0 = jnp.full((seg_cap, nbatch), jnp.nan, dtype=jnp.float32)
+    # best_loss is read by BOTH argmin tracking and the patience freeze;
+    # best_params only by argmin tracking; since_best only by patience.
+    # Unused carries are empty pytrees (see the use_min note above).
+    track_best = cfg.use_min or cfg.patience > 0
     if not cfg.use_min:
-        best_loss, best_params = (), ()
+        best_params = ()
+    if not track_best:
+        best_loss = ()
+    if cfg.patience == 0:
+        since_best = ()
     state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev, frozen,
-              nsteps_slice, best_loss, best_params, history0)
+              nsteps_slice, best_loss, best_params, since_best, history0)
 
     def cond(state):
-        step, _, _, _, frozen, _, _, _, _ = state
+        step, _, _, _, frozen, _, _, _, _, _ = state
         return jnp.logical_and(
             step < seg_len + warmup_offset, ~jnp.all(frozen)
         )
 
     def body(state):
         (step, params, opt_state, prev, frozen, nsteps_slice, best_loss,
-         best_params, history) = state
+         best_params, since_best, history) = state
         idx = step - warmup_offset  # recorded-step index; -1 on the warm-up
         rec = idx >= 0
         gstep = step0 + idx
@@ -511,36 +524,45 @@ def _batched_segment_impl(cfg: FitConfig, seg_cap, one_step, nbatch, dtype,
         newly = rec & (~frozen) & (
             jnp.logical_and(gstep >= 1, delta < cfg.tol) | ~jnp.isfinite(losses)
         )
-        nsteps_slice = jnp.where(newly, gstep + 1, nsteps_slice)
-        frozen = frozen | newly
-        new_prev = jnp.where(rec, losses, prev)
-        if cfg.use_min:
+        if track_best:
             # per-slice argmin tracking: select along the batch axis (the
             # warm-up iteration leaves the incoming pre-warm-up snapshot,
             # matching the old prologue: best_loss enters at `big`, so
             # every slice's best is overwritten at its first recorded step)
             is_best = rec & (losses < best_loss)
             best_loss = jnp.where(is_best, losses, best_loss)
-
+        if cfg.patience > 0:
+            # steps since a slice's last new loss minimum; a slice with no
+            # new minimum for `patience` recorded steps freezes (the tol
+            # stop never fires on an oscillating plateau — FitConfig note)
+            since_best = jnp.where(
+                rec & ~frozen, jnp.where(is_best, 0, since_best + 1),
+                since_best,
+            )
+            newly = newly | (rec & ~frozen & (since_best >= cfg.patience))
+        nsteps_slice = jnp.where(newly, gstep + 1, nsteps_slice)
+        frozen = frozen | newly
+        new_prev = jnp.where(rec, losses, prev)
+        if cfg.use_min:
             def sel(new, old):
                 bshape = (nbatch,) + (1,) * (new.ndim - 1)
                 return jnp.where(is_best.reshape(bshape), new, old)
 
             best_params = jax.tree_util.tree_map(sel, new_params, best_params)
         return (step + 1, new_params, new_opt_state, new_prev, frozen,
-                nsteps_slice, best_loss, best_params, history)
+                nsteps_slice, best_loss, best_params, since_best, history)
 
     (step, params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
-     history) = jax.lax.while_loop(cond, body, state0)
+     since_best, history) = jax.lax.while_loop(cond, body, state0)
     recorded = jnp.maximum(step - warmup_offset, 0)
     return (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
-            history, recorded)
+            since_best, history, recorded)
 
 
 def _segment_fn(cfg: FitConfig, seg_cap, chunks, data_r, data_i, wgts,
                 fg_r_const, fg_i_const, prior_r, prior_i, params,
                 opt_state, prev, frozen, nsteps_slice, best_loss,
-                best_params, step0, seg_len, warmup_offset):
+                best_params, since_best, step0, seg_len, warmup_offset):
     """The raw (untransformed) segment program shared by the jit entry
     point and the AOT auto-layout executables (BatchedSegmentPlan)."""
     _, one_step = _batched_step_fn(
@@ -548,18 +570,18 @@ def _segment_fn(cfg: FitConfig, seg_cap, chunks, data_r, data_i, wgts,
     )
     return _batched_segment_impl(
         cfg, seg_cap, one_step, prev.shape[0], prev.dtype, params, opt_state,
-        prev, frozen, nsteps_slice, best_loss, best_params, step0,
+        prev, frozen, nsteps_slice, best_loss, best_params, since_best, step0,
         seg_len=seg_len, warmup_offset=warmup_offset,
     )
 
 
 @partial(jax.jit, static_argnums=(0, 1),
-         donate_argnums=(10, 11, 12, 13, 14, 15, 16))
+         donate_argnums=(10, 11, 12, 13, 14, 15, 16, 17))
 def batched_fit_segment(cfg: FitConfig, seg_cap, chunks, data_r,
                         data_i, wgts, fg_r_const, fg_i_const, prior_r,
                         prior_i, params, opt_state, prev, frozen,
-                        nsteps_slice, best_loss, best_params, step0,
-                        seg_len, warmup_offset):
+                        nsteps_slice, best_loss, best_params, since_best,
+                        step0, seg_len, warmup_offset):
     """Checkpointable batched descent segment: carried state in and out so
     the host can persist it between segments (the batched counterpart of
     solver.fit._fit_segment). ``seg_len`` (recorded steps this call,
@@ -579,7 +601,8 @@ def batched_fit_segment(cfg: FitConfig, seg_cap, chunks, data_r,
     return _segment_fn(
         cfg, seg_cap, chunks, data_r, data_i, wgts, fg_r_const,
         fg_i_const, prior_r, prior_i, params, opt_state, prev, frozen,
-        nsteps_slice, best_loss, best_params, step0, seg_len, warmup_offset,
+        nsteps_slice, best_loss, best_params, since_best, step0, seg_len,
+        warmup_offset,
     )
 
 
@@ -648,7 +671,7 @@ class BatchedSegmentPlan:
         fn = partial(_segment_fn, self.cfg, self.seg_cap)
         jitted = jax.jit(
             fn,
-            donate_argnums=(8, 9, 10, 11, 12, 13, 14),
+            donate_argnums=(8, 9, 10, 11, 12, 13, 14, 15),
             in_shardings=_auto_format(),
             out_shardings=_auto_format(),
         )
@@ -707,10 +730,11 @@ def make_segment_plan(cfg: FitConfig, checkpoint_every, chunks, data_r, data_i,
     opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
     opt_state_sds = jax.eval_shape(opt.init, params_sds)
     vec_sds = jax.ShapeDtypeStruct((nbatch,), dtype)
-    if cfg.use_min:
-        best_loss_sds, best_params_sds = vec_sds, params_sds
-    else:
-        best_loss_sds, best_params_sds = (), ()
+    best_params_sds = params_sds if cfg.use_min else ()
+    best_loss_sds = vec_sds if (cfg.use_min or cfg.patience > 0) else ()
+    since_sds = (
+        jax.ShapeDtypeStruct((nbatch,), jnp.int32) if cfg.patience > 0 else ()
+    )
     args_sds = (
         as_sds(tuple(chunks)), as_sds(tuple(data_r)), as_sds(tuple(data_i)),
         as_sds(tuple(wgts)), fg_rc_sds, fg_ic_sds,
@@ -719,7 +743,7 @@ def make_segment_plan(cfg: FitConfig, checkpoint_every, chunks, data_r, data_i,
         params_sds, opt_state_sds, vec_sds,
         jax.ShapeDtypeStruct((nbatch,), jnp.bool_),
         jax.ShapeDtypeStruct((nbatch,), jnp.int32),
-        best_loss_sds, best_params_sds,
+        best_loss_sds, best_params_sds, since_sds,
         jax.ShapeDtypeStruct((), jnp.int32),
         jax.ShapeDtypeStruct((), jnp.int32),  # seg_len (traced)
         jax.ShapeDtypeStruct((), jnp.int32),  # warmup_offset (traced)
@@ -795,7 +819,13 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
     else:
         # argmin tracking off: don't carry (or checkpoint) a duplicate
         # parameter set — see _batched_segment_impl
-        best_loss, best_params = (), ()
+        best_params = ()
+        best_loss = (
+            jnp.full((nbatch,), big, dtype=dtype) if cfg.patience > 0 else ()
+        )
+    since_best = (
+        jnp.zeros((nbatch,), dtype=jnp.int32) if cfg.patience > 0 else ()
+    )
     history_all = np.zeros((0, nbatch), dtype=np.float32)
     step_total = 0
     warmup_pending = True
@@ -815,6 +845,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             "frozen": frozen,
             "nsteps_slice": nsteps_slice,
             "best_loss": best_loss,
+            "since_best": since_best,
         }
         tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
 
@@ -840,6 +871,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             frozen, tree["nsteps_slice"], jnp.int32(cfg.maxsteps)
         )
         best_loss = tree["best_loss"]
+        since_best = tree["since_best"]
         history_all = np.asarray(scal["history"], dtype=np.float32).reshape(-1, nbatch)
         step_total = int(scal["step"])
     elif cfg.use_min:
@@ -872,6 +904,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
                 "frozen": frozen,
                 "nsteps_slice": nsteps_slice,
                 "best_loss": best_loss,
+                "since_best": since_best,
             },
             {"step": step_total, "history": history_all},
         )
@@ -893,7 +926,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         seg_args = (
             chunks, data_r, data_i, wgts, fg_rc, fg_ic, prior_r, prior_i,
             params, opt_state, prev, frozen, nsteps_slice, best_loss,
-            best_params, jnp.asarray(step_total, jnp.int32),
+            best_params, since_best, jnp.asarray(step_total, jnp.int32),
         )
         if plan is not None:
             out = plan.run(seg_len, warmup_pending, seg_args)
@@ -906,7 +939,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         was_warmup = warmup_pending
         warmup_pending = False
         (params, opt_state, prev, frozen, nsteps_slice, best_loss, best_params,
-         hist_seg, nsteps_seg) = out
+         since_best, hist_seg, nsteps_seg) = out
         nsteps_seg = int(nsteps_seg)
         if nsteps_seg == 0:
             if was_warmup:
@@ -981,10 +1014,12 @@ def batched_fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_
     # (reference calibration.py:699-717); unconverged slices keep stepping
     frozen0 = jnp.zeros((nbatch,), dtype=bool)
     nsteps0 = jnp.full((nbatch,), cfg.maxsteps, dtype=jnp.int32)
+    since0 = jnp.zeros((nbatch,), dtype=jnp.int32)
     (params, opt_state_f, last, frozen, nsteps_slice, best_loss, best_params,
-     history, step) = _batched_segment_impl(
+     _, history, step) = _batched_segment_impl(
         cfg, cfg.maxsteps, one_step, nbatch, dtype, params, opt_state,
-        prev0, frozen0, nsteps0, best0, params, jnp.asarray(0, jnp.int32),
+        prev0, frozen0, nsteps0, best0, params, since0,
+        jnp.asarray(0, jnp.int32),
     )
     nsteps_slice = jnp.minimum(nsteps_slice, step)
     out_params = best_params if cfg.use_min else params

@@ -46,6 +46,15 @@ class FitConfig(NamedTuple):
     regularization: Optional[str] = None
     use_pallas: bool = False
     remat: bool = False
+    # stop (or freeze a batched slice) when the loss has not reached a new
+    # minimum for this many recorded steps; 0 disables. The |delta loss| <
+    # tol stop never triggers on an OSCILLATING plateau (Adam-family
+    # momentum orbits the minimum: measured on a 10%-gain-error fit, the
+    # argmin landed at step 3212 and the next 21,788 steps oscillated
+    # 10-50x above it — docs/DESIGN.md "Patience stopping"); patience
+    # bounds that waste. Combine with use_min so the returned state is the
+    # tracked argmin rather than wherever the oscillation happened to be.
+    patience: int = 0
     # evaluate batched losses as a scan over group blocks of this size:
     # bounds the activation HBM peak for many-poltime full-array fits
     # (parallel.batched._blocked_chunk_losses); None = single evaluation
@@ -92,11 +101,11 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     params = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
     opt_state = opt.init(params)
-    params, opt_state, _, _, _, _, _, _ = _fit_segment(
+    params, opt_state, _, _, _, _, _, _, _ = _fit_segment(
         cfg, 1, chunks, data_r, data_i, wgts, fg_r, fg_i,
         prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
     )
-    params, opt_state, prev, best_loss, best_params, history, step, _ = (
+    params, opt_state, prev, best_loss, best_params, history, step, _, _ = (
         _fit_segment(
             cfg, cfg.maxsteps, chunks, data_r, data_i, wgts, fg_r, fg_i,
             prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
@@ -115,11 +124,15 @@ def _fit_core(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i
 @partial(jax.jit, static_argnums=(0, 1))
 def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_const,
                  fg_i_const, prior_r_sum, prior_i_sum, params, opt_state, prev_loss,
-                 best_loss, best_params):
+                 best_loss, best_params, since_best=0):
     """Run up to ``seg_len`` descent steps from explicit optimizer state.
 
     The checkpointable variant of _fit_core: state comes in and goes out so
-    the host can persist it between segments (solver.checkpoint)."""
+    the host can persist it between segments (solver.checkpoint).
+
+    ``since_best``: recorded steps since the last new loss minimum on
+    entry (checkpointed resumes reconstruct it from the stored history);
+    only read when cfg.patience > 0."""
     opt = get_optimizer(cfg.optimizer, **dict(cfg.opt_kwargs))
     dtype = prev_loss.dtype
 
@@ -149,15 +162,19 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     history0 = jnp.full((seg_len,), jnp.nan, dtype=dtype)
     state0 = (jnp.asarray(0, jnp.int32), params, opt_state, prev_loss, big,
-              best_loss, best_params, history0)
+              best_loss, best_params, history0,
+              jnp.asarray(since_best, jnp.int32))
 
     def cond(state):
-        step, _, _, prev_loss, delta, _, _, _ = state
+        step, _, _, prev_loss, delta, _, _, _, since = state
         ok = jnp.logical_and(step < seg_len, delta >= cfg.tol)
+        if cfg.patience > 0:
+            ok = jnp.logical_and(ok, since < cfg.patience)
         return jnp.logical_and(ok, jnp.isfinite(prev_loss))
 
     def body(state):
-        step, params, opt_state, prev, _, best_loss, best_params, history = state
+        (step, params, opt_state, prev, _, best_loss, best_params, history,
+         since) = state
         loss, grads = vg(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -166,14 +183,17 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
         is_best = loss < best_loss
         best_loss = jnp.minimum(loss, best_loss)
         best_params = _tree_where(is_best, new_params, best_params)
+        since = jnp.where(is_best, 0, since + 1)
         return (step + 1, new_params, opt_state, loss, delta, best_loss,
-                best_params, history)
+                best_params, history, since)
 
-    step, params, opt_state, prev, delta, best_loss, best_params, history = (
-        jax.lax.while_loop(cond, body, state0)
-    )
+    (step, params, opt_state, prev, delta, best_loss, best_params, history,
+     since_best) = jax.lax.while_loop(cond, body, state0)
     converged = delta < cfg.tol
-    return params, opt_state, prev, best_loss, best_params, history, step, converged
+    if cfg.patience > 0:
+        converged = jnp.logical_or(converged, since_best >= cfg.patience)
+    return (params, opt_state, prev, best_loss, best_params, history, step,
+            converged, since_best)
 
 
 def _fit_checkpointed(cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
@@ -220,27 +240,41 @@ def _fit_checkpointed(cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
         best_loss = jnp.asarray(ck.best_loss, dtype=dtype)
         history_all = ck.history
         step_total = ck.step
+        # reconstruct steps-since-best from the stored history (first
+        # occurrence of the running minimum) — keeps the checkpoint format
+        # unchanged while making patience stops resume-exact
+        since_best = (
+            len(history_all) - 1 - int(np.argmin(history_all))
+            if len(history_all)
+            else 0
+        )
     else:
         # warm-up step (parity with _fit_core / reference calibration.py:693)
-        params, opt_state, _, best_loss, best_params, _, _, _ = _fit_segment(
+        params, opt_state, _, best_loss, best_params, _, _, _, _ = _fit_segment(
             cfg, 1, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const,
             prior_r_sum, prior_i_sum, params, opt_state, big, best_loss, best_params,
         )
         prev_loss = big  # first recorded step cannot trigger the tol stop
         best_loss = big
         best_params = params
+        since_best = 0
 
     converged = False
     while step_total < cfg.maxsteps and not converged:
         seg_len = min(seg, cfg.maxsteps - step_total)
         (params, opt_state, prev_loss, best_loss, best_params, hist_seg,
-         nsteps_seg, conv) = _fit_segment(
+         nsteps_seg, conv, since_best) = _fit_segment(
             cfg, seg_len, chunks, data_r, data_i, wgts, fg_r_const, fg_i_const,
             prior_r_sum, prior_i_sum, params, opt_state, prev_loss, best_loss,
-            best_params,
+            best_params, since_best,
         )
         nsteps_seg = int(nsteps_seg)
         converged = bool(conv)
+        if nsteps_seg == 0 and converged:
+            # resume with the stop condition already satisfied on entry
+            # (e.g. patience exhausted in the stored history): nothing to
+            # record, nothing to re-checkpoint
+            break
         if nsteps_seg == 0:
             # divergence watchdog (parity with _fit_core's cond): a segment
             # that takes zero steps means prev_loss is non-finite on entry;
@@ -305,6 +339,7 @@ def fit_gains_and_foregrounds(
     use_pallas=False,
     remat=False,
     comps_precision="float32",
+    patience=0,
     **opt_kwargs,
 ):
     """Run the gradient-descent fit for one (time, pol) slice.
@@ -344,6 +379,7 @@ def fit_gains_and_foregrounds(
         regularization=regularization,
         use_pallas=bool(use_pallas),
         remat=bool(remat),
+        patience=int(patience),
     )
 
     fg_r = tuple(fg_r)
@@ -392,7 +428,7 @@ def fit_gains_and_foregrounds(
 
         os.makedirs(profile_log_dir, exist_ok=True)
         jax.profiler.start_trace(profile_log_dir)
-        prof_cfg = cfg._replace(maxsteps=int(n_profile_steps), tol=0.0)
+        prof_cfg = cfg._replace(maxsteps=int(n_profile_steps), tol=0.0, patience=0)
         res = _fit_core(
             prof_cfg, chunks_lo if comps_precision == "bfloat16" else chunks,
             data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
@@ -467,11 +503,11 @@ def fit_gains_and_foregrounds(
         params = (g_r, g_i) if cfg.freeze_model else (g_r, g_i, fg_r, fg_i)
         opt_state = opt.init(params)
         # warm-up step (parity with _fit_core / reference calibration.py:693)
-        params, opt_state, _, _, _, _, _, _ = _fit_segment(
+        params, opt_state, _, _, _, _, _, _, _ = _fit_segment(
             cfg, 1, chunks_lo, data_r, data_i, wgts, fg_r, fg_i,
             prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
         )
-        params, opt_state, prev1, _, _, hist1, n1, _ = _fit_segment(
+        params, opt_state, prev1, _, _, hist1, n1, _, _ = _fit_segment(
             cfg, cfg.maxsteps, chunks_lo, data_r, data_i, wgts, fg_r, fg_i,
             prior_r_sum, prior_i_sum, params, opt_state, big, big, params,
         )
@@ -481,7 +517,7 @@ def fit_gains_and_foregrounds(
             f"steps; polishing in float32...",
             verbose=verbose,
         )
-        params, opt_state, prev2, best_loss, best_params, hist2, n2, _ = (
+        params, opt_state, prev2, best_loss, best_params, hist2, n2, _, _ = (
             _fit_segment(
                 cfg, cfg.maxsteps, chunks, data_r, data_i, wgts, fg_r, fg_i,
                 prior_r_sum, prior_i_sum, params, opt_state, big, big, params,

@@ -64,6 +64,9 @@ def main():
                     help="build + cache the prepared inputs and exit "
                          "without touching the device (fill the cache "
                          "while the device is busy or down)")
+    ap.add_argument("--patience", type=int, default=0,
+                    help="freeze a slice when its loss has not improved for "
+                         "this many steps (with use_min bookkeeping; 0 off)")
     ap.add_argument("--loss_block_ngrps", type=int, default=None,
                     help="group-block size for the scanned batched loss "
                          "(bounds activation HBM at many times)")
@@ -266,6 +269,8 @@ def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
         checkpoint_every=args.checkpoint_every,
         steps_per_execution=args.steps_per_execution,
         loss_block_ngrps=args.loss_block_ngrps,
+        patience=args.patience,
+        use_min=args.patience > 0,
         verbose=True,
     )
     t_fit = time.time() - t0

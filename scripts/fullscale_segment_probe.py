@@ -108,12 +108,12 @@ warmup = True
 for seg_len in ladder:
     stage(f"running segment seg_len={seg_len} (warmup={warmup})")
     args = (chunks, (dr,), (di,), (w,), (), (), pr, pr, params, opt_state,
-            prev, frozen, nsl, (), (), jnp.asarray(step0, jnp.int32))
+            prev, frozen, nsl, (), (), (), jnp.asarray(step0, jnp.int32))
     t0 = time.time()
     out = plan.run(seg_len, warmup, args)
-    n = int(out[8])  # device->host sync: the execution really finished
+    n = int(out[9])  # device->host sync: the execution really finished
     dt = time.time() - t0
-    hist = np.asarray(out[7], dtype=np.float32)
+    hist = np.asarray(out[8], dtype=np.float32)
     stage(f"seg_len={seg_len}: {n} recorded steps in {dt:.1f}s "
           f"({dt * 1e3 / max(n, 1):.1f} ms/step), "
           f"last loss {hist[n - 1, 0]:.4e}; {mem()}")

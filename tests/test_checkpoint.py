@@ -467,3 +467,106 @@ def test_checkpointed_divergence_terminates(tmp_path, projected):
     losses = np.asarray(hist[0][0]["loss"])
     assert len(losses) < 500  # stopped early, did not hang
     assert not np.isfinite(losses[-1])
+
+
+def _zero_plateau_fit_args():
+    """A deterministic patience scenario: slice/fit with zero data and zero
+    coefficient start has loss exactly 0 every step — never a new strict
+    minimum, so patience fires after exactly `patience` recorded steps."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    nants, nfreqs, ngrps, nvecs = 4, 32, 6, 4
+    comps = jnp.asarray(rng.standard_normal((ngrps, 1, nfreqs, nvecs)))
+    a0 = jnp.asarray([[0], [0], [0], [1], [1], [2]], dtype=np.int32)
+    a1 = jnp.asarray([[1], [2], [3], [2], [3], [3]], dtype=np.int32)
+    chunks = ((comps, a0, a1),)
+    shape = (ngrps, 1, nfreqs)
+    data_r = (jnp.zeros(shape),)
+    data_i = (jnp.zeros(shape),)
+    wgts = (jnp.full(shape, 1.0 / (ngrps * nfreqs)),)
+    g_r = jnp.ones((nants, nfreqs))
+    g_i = jnp.zeros((nants, nfreqs))
+    fg = (jnp.zeros((ngrps, nvecs)),)
+    return chunks, data_r, data_i, wgts, g_r, g_i, fg
+
+
+def test_patience_serial_stop_and_resume(tmp_path):
+    """patience stops the serial descent after exactly `patience` steps
+    without a new minimum — uninterrupted, checkpointed, AND resumed from
+    an interruption (the resume reconstructs steps-since-best from the
+    stored history, so the stop step must match bit-exactly)."""
+    from calamity_tpu.solver.fit import fit_gains_and_foregrounds
+
+    chunks, data_r, data_i, wgts, g_r, g_i, fg = _zero_plateau_fit_args()
+    common = dict(
+        g_r=g_r, g_i=g_i, fg_r=fg, fg_i=fg, data_r=data_r, data_i=data_i,
+        wgts=wgts, chunks=chunks, optimizer="Adamax", learning_rate=1e-2,
+        tol=0.0, use_min=True, patience=40, comps_precision="float32",
+    )
+    # uninterrupted, no checkpointing: first recorded step is the only
+    # "best", so the stop lands at step patience + 1
+    *_, hist_a = fit_gains_and_foregrounds(maxsteps=200, **common)
+    assert len(hist_a["loss"]) == 41
+    assert all(l == 0.0 for l in hist_a["loss"])
+    # checkpointed, uninterrupted
+    ck_b = str(tmp_path / "b")
+    *_, hist_b = fit_gains_and_foregrounds(
+        maxsteps=200, checkpoint_dir=ck_b, checkpoint_every=15, **common
+    )
+    assert len(hist_b["loss"]) == 41
+    # interrupted at 20 steps, resumed with the full budget: the resumed
+    # run must reconstruct since_best=19 from the stored history and stop
+    # at the same total step count
+    ck_c = str(tmp_path / "c")
+    *_, hist_c1 = fit_gains_and_foregrounds(
+        maxsteps=20, checkpoint_dir=ck_c, checkpoint_every=15, **common
+    )
+    assert len(hist_c1["loss"]) == 20
+    *_, hist_c2 = fit_gains_and_foregrounds(
+        maxsteps=200, checkpoint_dir=ck_c, checkpoint_every=15, **common
+    )
+    assert len(hist_c2["loss"]) == 41
+
+
+def test_patience_batched_checkpoint_resume(tmp_path):
+    """The batched path carries per-slice steps-since-best through
+    checkpoint save/load: an interrupted + resumed run freezes the
+    plateaued slice at the same global step as an uninterrupted one."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import (
+        batched_fit_checkpointed,
+        batched_fit_core,
+    )
+    from calamity_tpu.solver.fit import FitConfig
+
+    chunks, data_r, data_i, wgts, g_r, g_i, fg = _zero_plateau_fit_args()
+    # batch the zero-plateau fit twice (both slices plateau)
+    def b(x):
+        return jnp.stack([x, x])
+
+    data_r = (b(data_r[0]),)
+    data_i = (b(data_i[0]),)
+    wgts = (b(wgts[0]),)
+    g_r, g_i = b(g_r), b(g_i)
+    # DISTINCT buffers: params are donated, and real drivers never alias
+    # the real and imaginary coefficient arrays
+    fg_br = (b(fg[0]),)
+    fg_bi = (jnp.zeros_like(fg_br[0]),)
+    zero = jnp.zeros((2,))
+    cfg = FitConfig(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+                    maxsteps=200, tol=0.0, use_min=True, patience=40)
+    res_a = batched_fit_core(cfg, chunks, data_r, data_i, wgts, g_r, g_i,
+                             fg_br, fg_bi, zero, zero)
+    assert np.asarray(res_a.nsteps_slice).tolist() == [41, 41]
+    # interrupted at 20 (maxsteps cap), then resumed to the full budget
+    ck = str(tmp_path / "ck")
+    cfg20 = cfg._replace(maxsteps=20)
+    batched_fit_checkpointed(cfg20, chunks, data_r, data_i, wgts, g_r, g_i,
+                             fg_br, fg_bi, zero, zero, ck, 15, True, False)
+    res_b = batched_fit_checkpointed(cfg, chunks, data_r, data_i, wgts, g_r,
+                                     g_i, fg_br, fg_bi, zero, zero, ck, 15,
+                                     True, False)
+    assert np.asarray(res_b.nsteps_slice).tolist() == [41, 41]
+    assert int(res_b.nsteps) == 41

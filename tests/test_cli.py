@@ -28,6 +28,7 @@ def test_dpss_fit_argparser_defaults(monkeypatch):
     assert args.input_data_files == ["input.uvh5"]
     assert args.horizon == 1.0
     assert args.model_regularization == "post_hoc"
+    assert args.patience == 0  # reference semantics by default
 
 
 def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata,

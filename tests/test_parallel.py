@@ -724,3 +724,52 @@ def test_freeze_model_sum_reg_under_auto_plan(projected_multitime):
     assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
     assert np.allclose(np.abs(fitted.gain_array), np.abs(gains0.gain_array),
                        rtol=0.0, atol=1e-3)
+
+
+def test_patience_freezes_plateaued_slice():
+    """A slice that never reaches a NEW strict loss minimum freezes after
+    exactly `patience` recorded steps (slice 0 starts at its exact
+    solution: zero data, zero coefficients, loss identically 0), while a
+    still-improving slice keeps stepping; the improving slice's history
+    prefix is identical to a patience=0 run and use_min returns the
+    per-slice argmin loss."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import batched_fit_core
+    from calamity_tpu.solver.fit import FitConfig
+
+    rng = np.random.default_rng(0)
+    nants, nfreqs, ngrps, nvecs = 4, 32, 6, 4
+    comps = jnp.asarray(rng.standard_normal((ngrps, 1, nfreqs, nvecs)))
+    a0 = jnp.asarray([[0], [0], [0], [1], [1], [2]], dtype=np.int32)
+    a1 = jnp.asarray([[1], [2], [3], [2], [3], [3]], dtype=np.int32)
+    chunks = ((comps, a0, a1),)
+    true_fg = rng.standard_normal((ngrps, nvecs))
+    vis = np.einsum("gv,gxfv->gxf", true_fg, np.asarray(comps))
+    # slice 0: zero data + zero coeffs -> loss exactly 0 every step, never
+    # a new strict minimum; slice 1: real data, offset start, improves
+    data_r = (jnp.asarray(np.stack([np.zeros_like(vis), vis])),)
+    data_i = (jnp.asarray(np.zeros((2,) + vis.shape)),)
+    wgts = (jnp.full((2,) + vis.shape, 1.0 / vis.size),)
+    fg0 = np.stack([np.zeros_like(true_fg), true_fg + 5.0])
+    g_r = jnp.ones((2, nants, nfreqs))
+    g_i = jnp.zeros((2, nants, nfreqs))
+    base = dict(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+                maxsteps=200, tol=0.0, use_min=True)
+    args = (chunks, data_r, data_i, wgts, g_r, g_i,
+            (jnp.asarray(fg0),), (jnp.asarray(fg0) * 0,))
+    res0 = batched_fit_core(FitConfig(**base), *args)
+    res = batched_fit_core(FitConfig(**base, patience=40), *args)
+    ns = np.asarray(res.nsteps_slice)
+    hist0 = np.asarray(res0.loss_history)
+    hist = np.asarray(res.loss_history)
+    # plateaued slice freezes exactly patience steps after its first
+    # recorded step (the only "best")
+    assert ns[0] == 41, ns
+    # improving slice keeps going to maxsteps
+    assert ns[1] == 200, ns
+    assert np.array_equal(hist[:41, 0], hist0[:41, 0])
+    assert np.array_equal(hist[:, 1], hist0[:, 1])
+    assert np.asarray(res.final_loss)[0] == 0.0
+    # history is recorded in float32 regardless of fit dtype (HBM bound)
+    assert np.float32(np.asarray(res.final_loss)[1]) == np.nanmin(hist[:, 1])
