@@ -837,6 +837,10 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         warmup_pending = False  # the warm-up ran before the first checkpoint
         echo(f"{datetime.datetime.now()} Resuming batched fit from {ckpt_path}",
              verbose=verbose)
+        # the checkpoint tree structure depends on use_min ONLY — never on
+        # cfg.patience: since_best and the patience-only best_loss are
+        # reconstructed from the stored history below, so checkpoints stay
+        # loadable across patience-setting changes and code upgrades
         like_tree = {
             "params": params,
             "opt_state": opt_state,
@@ -844,8 +848,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             "prev": prev,
             "frozen": frozen,
             "nsteps_slice": nsteps_slice,
-            "best_loss": best_loss,
-            "since_best": since_best,
+            "best_loss": best_loss if cfg.use_min else (),
         }
         tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
 
@@ -870,10 +873,33 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         nsteps_slice = jnp.where(
             frozen, tree["nsteps_slice"], jnp.int32(cfg.maxsteps)
         )
-        best_loss = tree["best_loss"]
-        since_best = tree["since_best"]
+        if cfg.use_min:
+            best_loss = tree["best_loss"]
         history_all = np.asarray(scal["history"], dtype=np.float32).reshape(-1, nbatch)
         step_total = int(scal["step"])
+        if cfg.patience > 0 and history_all.shape[0]:
+            # reconstruct per-slice steps-since-best (and, without use_min,
+            # best_loss) from the stored history: a slice's last strict
+            # improvement is the FIRST occurrence of its column minimum.
+            # Unfrozen slices record every step, so the row count is their
+            # recorded-step count; frozen slices' values are never read.
+            # Exact for float32 fits (the history stores f32 casts of the
+            # very losses the device compares); for float64 fits the
+            # reconstruction is f32-rounded — pair patience with use_min
+            # (the recommended combination) for an exactly-carried best_loss.
+            h = np.where(np.isfinite(history_all), history_all, np.inf)
+            first_min = np.argmin(h, axis=0)
+            col_min = h[first_min, np.arange(h.shape[1])]
+            ever_improved = np.isfinite(col_min)
+            since_best = jnp.asarray(
+                np.where(
+                    ever_improved, h.shape[0] - 1 - first_min, 0
+                ).astype(np.int32)
+            )
+            if not cfg.use_min:
+                best_loss = jnp.asarray(
+                    np.where(ever_improved, col_min, float(big)), dtype=dtype
+                )
     elif cfg.use_min:
         # a DISTINCT copy: params and best_params are both donated to
         # the segment, and donating the same buffers twice is invalid.
@@ -897,14 +923,15 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         save_state(
             os.path.join(checkpoint_dir, f"step_{step_total}"),
             {
+                # format matches the resume like_tree: use_min-dependent
+                # only, never patience-dependent (reconstructed on load)
                 "params": params,
                 "opt_state": opt_state,
                 "best_params": best_params,
                 "prev": prev,
                 "frozen": frozen,
                 "nsteps_slice": nsteps_slice,
-                "best_loss": best_loss,
-                "since_best": since_best,
+                "best_loss": best_loss if cfg.use_min else (),
             },
             {"step": step_total, "history": history_all},
         )

@@ -242,11 +242,14 @@ def _fit_checkpointed(cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
         step_total = ck.step
         # reconstruct steps-since-best from the stored history (first
         # occurrence of the running minimum) — keeps the checkpoint format
-        # unchanged while making patience stops resume-exact
-        since_best = (
+        # unchanged while making patience stops resume-exact. int32 ARRAY,
+        # not a Python int: a weak-typed scalar would give _fit_segment a
+        # second trace signature (minutes of XLA wall-clock at full scale)
+        since_best = jnp.asarray(
             len(history_all) - 1 - int(np.argmin(history_all))
             if len(history_all)
-            else 0
+            else 0,
+            jnp.int32,
         )
     else:
         # warm-up step (parity with _fit_core / reference calibration.py:693)
@@ -257,7 +260,7 @@ def _fit_checkpointed(cfg, chunks, data_r, data_i, wgts, g_r, g_i, fg_r, fg_i,
         prev_loss = big  # first recorded step cannot trigger the tol stop
         best_loss = big
         best_params = params
-        since_best = 0
+        since_best = jnp.asarray(0, jnp.int32)  # same aval as the resume path
 
     converged = False
     while step_total < cfg.maxsteps and not converged:

@@ -64,3 +64,27 @@ def sky_model_redundant(redundant_visdata):
 @pytest.fixture()
 def noise_with_flags():
     return simulate.make_noise_with_rfi_flags()
+
+
+def zero_plateau_fit_args():
+    """A deterministic patience scenario: a fit with zero data and zero
+    coefficient start has loss exactly 0 every step — never a new strict
+    minimum, so patience fires after exactly `patience` recorded steps.
+    Shared by the serial (test_checkpoint) and batched (test_parallel)
+    patience tests so they exercise the same scenario."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    nants, nfreqs, ngrps, nvecs = 4, 32, 6, 4
+    comps = jnp.asarray(rng.standard_normal((ngrps, 1, nfreqs, nvecs)))
+    a0 = jnp.asarray([[0], [0], [0], [1], [1], [2]], dtype=np.int32)
+    a1 = jnp.asarray([[1], [2], [3], [2], [3], [3]], dtype=np.int32)
+    chunks = ((comps, a0, a1),)
+    shape = (ngrps, 1, nfreqs)
+    data_r = (jnp.zeros(shape),)
+    data_i = (jnp.zeros(shape),)
+    wgts = (jnp.full(shape, 1.0 / (ngrps * nfreqs)),)
+    g_r = jnp.ones((nants, nfreqs))
+    g_i = jnp.zeros((nants, nfreqs))
+    fg = (jnp.zeros((ngrps, nvecs)),)
+    return chunks, data_r, data_i, wgts, g_r, g_i, fg

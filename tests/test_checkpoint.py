@@ -469,28 +469,6 @@ def test_checkpointed_divergence_terminates(tmp_path, projected):
     assert not np.isfinite(losses[-1])
 
 
-def _zero_plateau_fit_args():
-    """A deterministic patience scenario: slice/fit with zero data and zero
-    coefficient start has loss exactly 0 every step — never a new strict
-    minimum, so patience fires after exactly `patience` recorded steps."""
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    nants, nfreqs, ngrps, nvecs = 4, 32, 6, 4
-    comps = jnp.asarray(rng.standard_normal((ngrps, 1, nfreqs, nvecs)))
-    a0 = jnp.asarray([[0], [0], [0], [1], [1], [2]], dtype=np.int32)
-    a1 = jnp.asarray([[1], [2], [3], [2], [3], [3]], dtype=np.int32)
-    chunks = ((comps, a0, a1),)
-    shape = (ngrps, 1, nfreqs)
-    data_r = (jnp.zeros(shape),)
-    data_i = (jnp.zeros(shape),)
-    wgts = (jnp.full(shape, 1.0 / (ngrps * nfreqs)),)
-    g_r = jnp.ones((nants, nfreqs))
-    g_i = jnp.zeros((nants, nfreqs))
-    fg = (jnp.zeros((ngrps, nvecs)),)
-    return chunks, data_r, data_i, wgts, g_r, g_i, fg
-
-
 def test_patience_serial_stop_and_resume(tmp_path):
     """patience stops the serial descent after exactly `patience` steps
     without a new minimum — uninterrupted, checkpointed, AND resumed from
@@ -498,7 +476,9 @@ def test_patience_serial_stop_and_resume(tmp_path):
     stored history, so the stop step must match bit-exactly)."""
     from calamity_tpu.solver.fit import fit_gains_and_foregrounds
 
-    chunks, data_r, data_i, wgts, g_r, g_i, fg = _zero_plateau_fit_args()
+    from conftest import zero_plateau_fit_args
+
+    chunks, data_r, data_i, wgts, g_r, g_i, fg = zero_plateau_fit_args()
     common = dict(
         g_r=g_r, g_i=g_i, fg_r=fg, fg_i=fg, data_r=data_r, data_i=data_i,
         wgts=wgts, chunks=chunks, optimizer="Adamax", learning_rate=1e-2,
@@ -510,11 +490,19 @@ def test_patience_serial_stop_and_resume(tmp_path):
     assert len(hist_a["loss"]) == 41
     assert all(l == 0.0 for l in hist_a["loss"])
     # checkpointed, uninterrupted
+    from calamity_tpu.solver import fit as fit_mod
+
+    fit_mod._fit_segment.clear_cache()
     ck_b = str(tmp_path / "b")
     *_, hist_b = fit_gains_and_foregrounds(
         maxsteps=200, checkpoint_dir=ck_b, checkpoint_every=15, **common
     )
     assert len(hist_b["loss"]) == 41
+    # exactly two trace signatures: the warm-up (seg_len=1) and the main
+    # segment — since_best must enter with the SAME int32-array aval on the
+    # first and every later call (a weak-typed Python 0 would add a third
+    # signature = an extra minutes-long XLA compile at full scale)
+    assert fit_mod._fit_segment._cache_size() == 2
     # interrupted at 20 steps, resumed with the full budget: the resumed
     # run must reconstruct since_best=19 from the stored history and stop
     # at the same total step count
@@ -541,7 +529,9 @@ def test_patience_batched_checkpoint_resume(tmp_path):
     )
     from calamity_tpu.solver.fit import FitConfig
 
-    chunks, data_r, data_i, wgts, g_r, g_i, fg = _zero_plateau_fit_args()
+    from conftest import zero_plateau_fit_args
+
+    chunks, data_r, data_i, wgts, g_r, g_i, fg = zero_plateau_fit_args()
     # batch the zero-plateau fit twice (both slices plateau)
     def b(x):
         return jnp.stack([x, x])
@@ -570,3 +560,57 @@ def test_patience_batched_checkpoint_resume(tmp_path):
                                      True, False)
     assert np.asarray(res_b.nsteps_slice).tolist() == [41, 41]
     assert int(res_b.nsteps) == 41
+
+
+def test_patience_setting_not_baked_into_batched_checkpoint(tmp_path):
+    """The checkpoint tree format must not depend on cfg.patience: a run
+    can be resumed with a DIFFERENT patience setting than the one that
+    saved it (the natural move when a long run is seen oscillating), and
+    the reconstructed steps-since-best makes the late-enabled stop land
+    exactly where an always-on run would."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import batched_fit_checkpointed
+    from calamity_tpu.solver.fit import FitConfig
+
+    from conftest import zero_plateau_fit_args
+
+    base = dict(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+                tol=0.0, use_min=True)
+
+    def make_args():
+        # fresh buffers per call: the fit donates its parameter arrays
+        chunks, data_r, data_i, wgts, g_r, g_i, fg = zero_plateau_fit_args()
+
+        def b(x):
+            return jnp.stack([x, x])
+
+        fg_br = (b(fg[0]),)
+        return (chunks, (b(data_r[0]),), (b(data_i[0]),), (b(wgts[0]),),
+                b(g_r), b(g_i), fg_br, (jnp.zeros_like(fg_br[0]),),
+                jnp.zeros((2,)), jnp.zeros((2,)))
+    # saved WITHOUT patience (20 zero-loss steps in the history), resumed
+    # WITH patience=40: since-best reconstructs to 19, so the freeze lands
+    # at global step 41 — identical to an always-patience run
+    ck = str(tmp_path / "a")
+    batched_fit_checkpointed(
+        FitConfig(maxsteps=20, patience=0, **base), *make_args(), ck, 15,
+        True, False
+    )
+    res = batched_fit_checkpointed(
+        FitConfig(maxsteps=200, patience=40, **base), *make_args(), ck, 15,
+        True, False
+    )
+    assert np.asarray(res.nsteps_slice).tolist() == [41, 41]
+    # saved WITH patience, resumed WITHOUT: the plateau never freezes and
+    # the fit runs out its budget
+    ck2 = str(tmp_path / "b")
+    batched_fit_checkpointed(
+        FitConfig(maxsteps=20, patience=40, **base), *make_args(), ck2, 15,
+        True, False
+    )
+    res2 = batched_fit_checkpointed(
+        FitConfig(maxsteps=50, patience=0, **base), *make_args(), ck2, 15,
+        True, False
+    )
+    assert np.asarray(res2.nsteps_slice).tolist() == [50, 50]

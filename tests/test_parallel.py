@@ -738,13 +738,14 @@ def test_patience_freezes_plateaued_slice():
     from calamity_tpu.parallel.batched import batched_fit_core
     from calamity_tpu.solver.fit import FitConfig
 
-    rng = np.random.default_rng(0)
-    nants, nfreqs, ngrps, nvecs = 4, 32, 6, 4
-    comps = jnp.asarray(rng.standard_normal((ngrps, 1, nfreqs, nvecs)))
-    a0 = jnp.asarray([[0], [0], [0], [1], [1], [2]], dtype=np.int32)
-    a1 = jnp.asarray([[1], [2], [3], [2], [3], [3]], dtype=np.int32)
-    chunks = ((comps, a0, a1),)
-    true_fg = rng.standard_normal((ngrps, nvecs))
+    from conftest import zero_plateau_fit_args
+
+    # slice 0 reuses the shared zero-plateau scenario's geometry
+    chunks, *_ = zero_plateau_fit_args()
+    comps = chunks[0][0]
+    nants, nfreqs = 4, 32
+    ngrps, _, _, nvecs = comps.shape
+    true_fg = np.random.default_rng(1).standard_normal((ngrps, nvecs))
     vis = np.einsum("gv,gxfv->gxf", true_fg, np.asarray(comps))
     # slice 0: zero data + zero coeffs -> loss exactly 0 every step, never
     # a new strict minimum; slice 1: real data, offset start, improves
