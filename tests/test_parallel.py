@@ -774,3 +774,53 @@ def test_patience_freezes_plateaued_slice():
     assert np.asarray(res.final_loss)[0] == 0.0
     # history is recorded in float32 regardless of fit dtype (HBM bound)
     assert np.float32(np.asarray(res.final_loss)[1]) == np.nanmin(hist[:, 1])
+
+
+def test_patience_freeze_composes_with_mesh():
+    """The per-slice since-best carry shards like the freeze mask: the
+    zero-plateau batched fit sharded over a ('data','bl') mesh freezes at
+    the same step as the single-device run (the endurance configuration
+    pairs patience with the mesh)."""
+    import jax
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import batched_fit_core
+    from calamity_tpu.parallel.mesh import fit_shardings, make_mesh, shard_chunk
+    from calamity_tpu.solver.fit import FitConfig
+
+    from conftest import zero_plateau_fit_args
+
+    def make(shard):
+        chunks, data_r, data_i, wgts, g_r, g_i, fg = zero_plateau_fit_args()
+
+        def b(x):
+            return jnp.stack([x, x])
+
+        data_r, data_i, wgts = b(data_r[0]), b(data_i[0]), b(wgts[0])
+        g_r, g_i = b(g_r), b(g_i)
+        fg_r = b(fg[0])
+        fg_i = jnp.zeros_like(fg_r)
+        if shard:
+            mesh = make_mesh(n_data=2, n_bl=2, devices=jax.devices()[:4])
+            sh = fit_shardings(mesh)
+            chunk, data_r, data_i, wgts = shard_chunk(
+                mesh, chunks[0], data_r, data_i, wgts
+            )
+            chunks = (chunk,)
+            g_r = jax.device_put(g_r, sh["gains"])
+            g_i = jax.device_put(g_i, sh["gains"])
+            fg_r = jax.device_put(fg_r, sh["coeffs"])
+            fg_i = jax.device_put(fg_i, sh["coeffs"])
+        return (chunks, (data_r,), (data_i,), (wgts,), g_r, g_i,
+                (fg_r,), (fg_i,), jnp.zeros((2,)), jnp.zeros((2,)))
+
+    cfg = FitConfig(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+                    maxsteps=200, tol=0.0, use_min=True, patience=40)
+    res_m = batched_fit_core(cfg, *make(True))
+    res_s = batched_fit_core(cfg, *make(False))
+    assert np.asarray(res_m.nsteps_slice).tolist() == [41, 41]
+    # equal_nan: rows past a frozen slice's last recorded step stay NaN
+    assert np.array_equal(
+        np.asarray(res_m.loss_history), np.asarray(res_s.loss_history),
+        equal_nan=True,
+    )
