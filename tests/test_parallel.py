@@ -824,3 +824,33 @@ def test_patience_freeze_composes_with_mesh():
         np.asarray(res_m.loss_history), np.asarray(res_s.loss_history),
         equal_nan=True,
     )
+
+
+def test_patience_stops_warmstart_scan():
+    """patience bounds each per-time while_loop inside the compiled
+    warm-started scan: on the zero plateau every time stops after exactly
+    patience + 1 recorded steps with its argmin (zero) loss."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import scanned_warmstart_fit_core
+    from calamity_tpu.solver.fit import FitConfig
+
+    from conftest import zero_plateau_fit_args
+
+    chunks, data_r, data_i, wgts, g_r, g_i, fg = zero_plateau_fit_args()
+
+    def T(x):
+        return jnp.stack([x, x])  # two times
+
+    cfg = FitConfig(optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+                    maxsteps=200, tol=0.0, use_min=True, patience=40)
+    _, history, nsteps, finals = scanned_warmstart_fit_core(
+        cfg, chunks, (T(data_r[0]),), (T(data_i[0]),), (T(wgts[0]),),
+        g_r, g_i, fg, (jnp.zeros_like(fg[0]),),
+        jnp.zeros((2,)), jnp.zeros((2,)),
+    )
+    assert np.asarray(nsteps).tolist() == [41, 41]
+    assert np.asarray(finals).tolist() == [0.0, 0.0]
+    hist = np.asarray(history)
+    assert hist.shape == (2, 200)
+    assert np.all(hist[:, :41] == 0.0)
