@@ -772,16 +772,11 @@ def _calibrate_time_scan(
             # HOST stack of per-time chunk tensors, group axis padded to
             # the mesh multiple chosen by _pad_chunks_for_bl; uploaded to
             # the device exactly once below
-            out = []
-            for cnum, x in enumerate(lists):
-                arr = np.stack([np.asarray(v) for v in x])
-                tgt = ngrps_pads[cnum]
-                if arr.shape[1] != tgt:
-                    pad = [(0, 0)] * arr.ndim
-                    pad[1] = (0, tgt - arr.shape[1])
-                    arr = np.pad(arr, pad)
-                out.append(arr)
-            return tuple(out)
+            return tuple(
+                _pad_axis_np(np.stack([np.asarray(v) for v in x]), 1,
+                             ngrps_pads[cnum])
+                for cnum, x in enumerate(lists)
+            )
 
         data_r_s = stack_padded(per["dr"])
         data_i_s = stack_padded(per["di"])
@@ -968,6 +963,18 @@ def _pad_axis(arr, axis, target):
     pad = [(0, 0)] * arr.ndim
     pad[axis] = (0, target - arr.shape[axis])
     return jnp.pad(arr, pad)
+
+
+def _pad_axis_np(arr, axis, target):
+    """Zero-pad one axis of a HOST numpy array up to ``target`` length.
+
+    Host-side twin of _pad_axis: the multi-time paths pad on the host so
+    the padded cube is built (and uploaded) exactly once."""
+    if arr.shape[axis] == target:
+        return arr
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, target - arr.shape[axis])
+    return np.pad(arr, pad)
 
 
 def _pad_chunks_for_bl(chunks, n_bl):
@@ -1175,22 +1182,15 @@ def _calibrate_time_parallel(
             out = np.concatenate([out, reps], axis=0)
         return out
 
-    def pad_np(arr, axis, target):
-        if arr.shape[axis] == target:
-            return arr
-        pad = [(0, 0)] * arr.ndim
-        pad[axis] = (0, target - arr.shape[axis])
-        return np.pad(arr, pad)
-
     g_r_b = stack(per_slice["g_r"])
     g_i_b = stack(per_slice["g_i"])
     data_r_b, data_i_b, wgts_b, sky_r_h, sky_i_h = [], [], [], [], []
     fit_chunks, ngrps_pads = _pad_chunks_for_bl(chunks, n_bl)
     for cnum in range(nchunks):
         ngrps_pad = ngrps_pads[cnum]
-        data_r_b.append(pad_np(stack(per_slice["data_r"][cnum]), 1, ngrps_pad))
-        data_i_b.append(pad_np(stack(per_slice["data_i"][cnum]), 1, ngrps_pad))
-        w = pad_np(stack(per_slice["wgts"][cnum]), 1, ngrps_pad)
+        data_r_b.append(_pad_axis_np(stack(per_slice["data_r"][cnum]), 1, ngrps_pad))
+        data_i_b.append(_pad_axis_np(stack(per_slice["data_i"][cnum]), 1, ngrps_pad))
+        w = _pad_axis_np(stack(per_slice["wgts"][cnum]), 1, ngrps_pad)
         # zero the weights of dummy batch rows so they contribute no loss
         if nbatch > nbatch_real:
             w = w.copy()
@@ -1199,8 +1199,8 @@ def _calibrate_time_parallel(
             w = _compress_freq_invariant_wgts(w)
         wgts_b.append(w)
         if have_sky:
-            sky_r_h.append(pad_np(stack(per_slice["sky_r"][cnum]), 1, ngrps_pad))
-            sky_i_h.append(pad_np(stack(per_slice["sky_i"][cnum]), 1, ngrps_pad))
+            sky_r_h.append(_pad_axis_np(stack(per_slice["sky_r"][cnum]), 1, ngrps_pad))
+            sky_i_h.append(_pad_axis_np(stack(per_slice["sky_i"][cnum]), 1, ngrps_pad))
     del per_slice
 
     if mesh is not None:
@@ -1274,7 +1274,11 @@ def _calibrate_time_parallel(
         # the sky-chunk upload and the masked-rhs transients are cube-sized
         # per chunk otherwise, which re-creates the activation OOM the
         # blocked loss exists to avoid
-        blk = _loss_block_size(ngrps, gmax, loss_block_ngrps) or ngrps
+        # on a mesh, blocks must also split on 'bl' shard boundaries: sky
+        # blocks are device_put onto P('data','bl') and data/weight slices
+        # keep their sharding only when aligned to it
+        blk = _loss_block_size(ngrps, gmax, loss_block_ngrps,
+                               multiple_of=n_bl) or ngrps
         new_w_blocks = [] if use_model_snr_weights else None
         cr_blocks, ci_blocks = [], []
         for g0 in range(0, ngrps, blk):
@@ -1323,7 +1327,10 @@ def _calibrate_time_parallel(
         # renormalize the reweighted batch to unit total per slice
         # (reference calibration.py:1235-1242); dummy rows keep w = 0
         denom = jnp.where(wsum_b > 0, wsum_b, 1.0)
-        wgts_b = [w / denom[:, None, None, None] for w in wgts_b]
+        # re-pin the reweighted cubes: the eager concatenate/divide outputs
+        # carry whatever sharding dispatch propagated, not the committed
+        # P('data','bl') layout the descent program was planned around
+        wgts_b = [put_sky(w / denom[:, None, None, None]) for w in wgts_b]
         prior_r_b = prior_r_b / denom
         prior_i_b = prior_i_b / denom
     if have_sky:
@@ -1341,6 +1348,7 @@ def _calibrate_time_parallel(
         remat=bool(remat),
         patience=int(patience),
         loss_block=None if loss_block_ngrps is None else int(loss_block_ngrps),
+        loss_block_unit=n_bl,
     )
     if use_pallas:
         from .ops.fused import warn_pallas_fallbacks
@@ -1459,15 +1467,18 @@ def _calibrate_time_parallel(
         # optimizer state carried across the precision switch and the
         # phase-1 diagnostics persisted so resumed histories match an
         # uninterrupted run
-        from .solver.checkpoint import latest_checkpoint
+        from .solver.checkpoint import (
+            latest_checkpoint,
+            load_phase_meta,
+            save_phase_meta,
+        )
 
         ck1 = _os.path.join(ck_base, "phase_bf16")
         ck2 = _os.path.join(ck_base, "phase_f32")
-        phase1_meta = _os.path.join(ck_base, "phase1_history.npz")
         skip1 = resume and latest_checkpoint(ck2) is not None
         if skip1:
-            if _os.path.isfile(phase1_meta):
-                meta = np.load(phase1_meta)
+            meta = load_phase_meta(ck_base)
+            if meta is not None:
                 hist1 = np.asarray(meta["history"], dtype=np.float64)
                 ns1 = np.asarray(meta["nsteps_slice"])
             else:
@@ -1480,10 +1491,7 @@ def _calibrate_time_parallel(
             res1, hist1, ns1 = run_batched(
                 fit_chunks_lo, g_r_b, g_i_b, fg_r_b, fg_i_b, ckdir=ck1
             )
-            _os.makedirs(ck_base, exist_ok=True)
-            tmp = _os.path.join(ck_base, "phase1_history.tmp.npz")
-            np.savez(tmp, history=hist1, nsteps_slice=ns1)
-            _os.replace(tmp, phase1_meta)
+            save_phase_meta(ck_base, history=hist1, nsteps_slice=ns1)
             echo(
                 f"{datetime.datetime.now()} bf16 phase done ({int(res1.nsteps)} "
                 "steps); polishing in float32...\n",

@@ -38,16 +38,26 @@ from ..solver.fit import FitConfig
 from ..solver.optimizers import get_optimizer
 
 
-def _loss_block_size(ngrps, gmax, requested):
+def _loss_block_size(ngrps, gmax, requested, multiple_of=1):
     """Largest group-block <= ``requested`` that divides ngrps and is a
     multiple of gmax (shared-BATCHED chunks must split on operator-class
-    boundaries so the (ngrps -> U, gmax) reshape stays block-local).
-    Returns None when blocking is off or would not split the chunk."""
+    boundaries so the (ngrps -> U, gmax) reshape stays block-local) and of
+    ``multiple_of`` (mesh runs block on shard boundaries so sliced/re-put
+    blocks keep their 'bl' sharding). Returns None when blocking is off or
+    would not split the chunk."""
     if requested is None or requested >= ngrps:
         return None
-    b = max(gmax, (int(requested) // gmax) * gmax)
-    while ngrps % b:
-        b -= gmax
+    if int(requested) < 1:
+        raise ValueError(
+            f"loss_block_ngrps must be >= 1, got {requested} (use None to "
+            "disable group blocking)"
+        )
+    unit = int(np.lcm(int(gmax), int(multiple_of)))
+    b = max(unit, (int(requested) // unit) * unit)
+    while b >= unit and ngrps % b:
+        b -= unit
+    if b < unit:  # ngrps not a multiple of unit: cannot block on the mesh
+        return None
     return b if b < ngrps else None
 
 
@@ -109,7 +119,8 @@ def _blocked_chunk_losses(chunk_losses, gr, gi, fr, fi, dr, di, w, comps, a0, a1
 
 
 def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
-                         use_pallas=False, remat=False, loss_block=None):
+                         use_pallas=False, remat=False, loss_block=None,
+                         loss_block_unit=1):
     """Per-batch-element chi-square, shape (nbatch,).
 
     The per-chunk term is EXPLICITLY batched over slices (not vmapped):
@@ -167,7 +178,7 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
         ngrps = a0.shape[0]
         nu = comps.shape[0]
         gmax = ngrps // nu if 1 < nu < ngrps else 1
-        blk = _loss_block_size(ngrps, gmax, loss_block)
+        blk = _loss_block_size(ngrps, gmax, loss_block, loss_block_unit)
         if blk is not None:
             total = total + _blocked_chunk_losses(
                 chunk_losses, g_r, g_i, fg_r[cnum], fg_i[cnum],
@@ -183,7 +194,7 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
 
 def batched_chunk_losses_sum_regularized(
     g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts, prior_r, prior_i,
-    loss_block=None,
+    loss_block=None, loss_block_unit=1,
 ):
     """Per-batch-element chi-square + "sum" flux prior (reference
     mse_chunked_sum_regularized, calibration.py:1623-1656), one prior pair
@@ -223,7 +234,7 @@ def batched_chunk_losses_sum_regularized(
         ngrps = a0.shape[0]
         nu = comps.shape[0]
         gmax = ngrps // nu if 1 < nu < ngrps else 1
-        blk = _loss_block_size(ngrps, gmax, loss_block)
+        blk = _loss_block_size(ngrps, gmax, loss_block, loss_block_unit)
         if blk is not None:
             nblk = ngrps // blk
 
@@ -411,12 +422,14 @@ def _batched_step_fn(cfg: FitConfig, chunks, data_r, data_i, wgts, fg_r, fg_i,
             return batched_chunk_losses_sum_regularized(
                 gr, gi, fr, fi, chunks, data_r, data_i, wgts, prior_r, prior_i,
                 loss_block=cfg.loss_block,
+                loss_block_unit=cfg.loss_block_unit,
             )
     else:
         def raw_losses(gr, gi, fr, fi):
             return batched_chunk_losses(gr, gi, fr, fi, chunks, data_r, data_i, wgts,
                                         use_pallas=cfg.use_pallas, remat=cfg.remat,
-                                        loss_block=cfg.loss_block)
+                                        loss_block=cfg.loss_block,
+                                        loss_block_unit=cfg.loss_block_unit)
 
     if cfg.freeze_model:
         def losses_fn(params):

@@ -210,3 +210,23 @@ def latest_checkpoint(directory):
         if _checkpoint_loadable(path):
             return path
     return None
+
+
+def save_phase_meta(directory, **arrays):
+    """Atomically persist phase-boundary diagnostics (the bf16-phase loss
+    history of a mixed-precision fit) as ``phase1_history.npz`` under
+    ``directory``. A crash mid-save leaves the previous file intact."""
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, "phase1_history.tmp.npz")
+    np.savez(tmp, **arrays)
+    os.replace(tmp, os.path.join(directory, "phase1_history.npz"))
+
+
+def load_phase_meta(directory):
+    """The dict persisted by save_phase_meta, or None when absent (a resume
+    that predates the file, or a run whose phase 1 never completed)."""
+    path = os.path.join(directory, "phase1_history.npz")
+    if not os.path.isfile(path):
+        return None
+    with np.load(path) as meta:
+        return {k: np.asarray(meta[k]) for k in meta.files}

@@ -59,6 +59,10 @@ class FitConfig(NamedTuple):
     # bounds the activation HBM peak for many-poltime full-array fits
     # (parallel.batched._blocked_chunk_losses); None = single evaluation
     loss_block: Optional[int] = None
+    # group blocks additionally align to multiples of this (the mesh 'bl'
+    # shard count on sharded runs, so every scanned block slices on shard
+    # boundaries instead of forcing the partitioner to regather the cubes)
+    loss_block_unit: int = 1
 
 
 class FitResult(NamedTuple):
@@ -191,7 +195,14 @@ def _fit_segment(cfg: FitConfig, seg_len, chunks, data_r, data_i, wgts, fg_r_con
      since_best) = jax.lax.while_loop(cond, body, state0)
     converged = delta < cfg.tol
     if cfg.patience > 0:
-        converged = jnp.logical_or(converged, since_best >= cfg.patience)
+        # gate on a finite final loss: since_best also increments on a
+        # NaN/inf step (NaN < best is False), and a divergence that lands
+        # exactly on the patience boundary must surface as a divergence,
+        # not a convergence (the batched path masks this the same way)
+        converged = jnp.logical_or(
+            converged,
+            jnp.logical_and(since_best >= cfg.patience, jnp.isfinite(prev)),
+        )
     return (params, opt_state, prev, best_loss, best_params, history, step,
             converged, since_best)
 
@@ -451,22 +462,19 @@ def fit_gains_and_foregrounds(
         # checkpointed mixed: each phase is its own checkpointed descent
         # (optimizer state resets at the phase boundary — the checkpoint
         # files only carry one phase's state)
+        from .checkpoint import latest_checkpoint, load_phase_meta, save_phase_meta
+
         ck1 = os.path.join(checkpoint_dir, "phase_bf16")
         ck2 = os.path.join(checkpoint_dir, "phase_f32")
-        phase1_meta = os.path.join(checkpoint_dir, "phase1_history.npz")
-        skip1 = False
-        if resume:
-            # phase 2 already under way from a previous run: phase-1 output
-            # is baked into its checkpoints, don't redo the bf16 descent
-            from .checkpoint import latest_checkpoint
-
-            skip1 = latest_checkpoint(ck2) is not None
+        # phase 2 already under way from a previous run: phase-1 output
+        # is baked into its checkpoints, don't redo the bf16 descent
+        skip1 = resume and latest_checkpoint(ck2) is not None
         if skip1:
             # restore the bf16-phase diagnostics persisted below so a
             # resumed run reports the same phase_steps / loss history as an
             # uninterrupted one
-            if os.path.isfile(phase1_meta):
-                meta = np.load(phase1_meta)
+            meta = load_phase_meta(checkpoint_dir)
+            if meta is not None:
                 n1 = int(meta["nsteps"])
                 hist1 = np.asarray(meta["history"], dtype=np.float64)
             else:
@@ -478,10 +486,7 @@ def fit_gains_and_foregrounds(
             n1 = int(res1.nsteps)
             hist1 = np.asarray(res1.loss_history[:n1], dtype=np.float64)
             gr1, gi1, fr1, fi1 = res1.g_r, res1.g_i, res1.fg_r, res1.fg_i
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            tmp = os.path.join(checkpoint_dir, "phase1_history.tmp.npz")
-            np.savez(tmp, nsteps=n1, history=hist1)
-            os.replace(tmp, phase1_meta)
+            save_phase_meta(checkpoint_dir, nsteps=n1, history=hist1)
             echo(
                 f"{datetime.datetime.now()} bf16 phase converged after {n1} "
                 f"steps; polishing in float32...",

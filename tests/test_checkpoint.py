@@ -614,3 +614,27 @@ def test_patience_setting_not_baked_into_batched_checkpoint(tmp_path):
         True, False
     )
     assert np.asarray(res2.nsteps_slice).tolist() == [50, 50]
+
+
+def test_patience_divergence_not_reported_as_converged(tmp_path, capsys):
+    """A non-finite loss landing exactly on the patience boundary must
+    surface as the divergence watchdog, not a patience convergence: the
+    steps-since-best counter also increments on NaN steps (NaN < best is
+    False), so without the finite gate the segmented loop takes the
+    "converged" break with NaN params."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.solver.fit import fit_gains_and_foregrounds
+
+    from conftest import zero_plateau_fit_args
+
+    chunks, data_r, data_i, wgts, g_r, g_i, fg = zero_plateau_fit_args()
+    data_r = (jnp.full_like(data_r[0], jnp.nan),)
+    *_, hist = fit_gains_and_foregrounds(
+        g_r=g_r, g_i=g_i, fg_r=fg, fg_i=fg, data_r=data_r, data_i=data_i,
+        wgts=wgts, chunks=chunks, optimizer="Adamax", learning_rate=1e-2,
+        tol=0.0, use_min=False, patience=1, comps_precision="float32",
+        maxsteps=50, checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=10,
+        verbose=True,
+    )
+    assert "Divergence detected" in capsys.readouterr().out

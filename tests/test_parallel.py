@@ -854,3 +854,57 @@ def test_patience_stops_warmstart_scan():
     hist = np.asarray(history)
     assert hist.shape == (2, 200)
     assert np.all(hist[:, :41] == 0.0)
+
+
+def test_loss_block_size_validation_and_mesh_unit():
+    """_loss_block_size rejects nonsensical requests instead of silently
+    degrading to per-group scans, and rounds mesh-run blocks to shard
+    ('bl') boundaries so sliced/re-put blocks keep their sharding."""
+    from calamity_tpu.parallel.batched import _loss_block_size
+
+    with pytest.raises(ValueError, match="loss_block_ngrps"):
+        _loss_block_size(8, 1, 0)
+    with pytest.raises(ValueError, match="loss_block_ngrps"):
+        _loss_block_size(8, 1, -3)
+    assert _loss_block_size(8, 1, None) is None  # blocking off
+    assert _loss_block_size(8, 1, 8) is None  # would not split
+    assert _loss_block_size(8, 1, 2) == 2  # plain: largest divisor <= 2
+    # mesh: blocks round to lcm(gmax, n_bl) multiples
+    assert _loss_block_size(8, 1, 2, multiple_of=4) == 4
+    assert _loss_block_size(16, 2, 5, multiple_of=4) == 4
+    # group axis not divisible by the unit: cannot block, fall back whole
+    assert _loss_block_size(6, 1, 2, multiple_of=4) is None
+
+
+def test_mesh_sky_model_blocked_warmstart(projected_multitime):
+    """sky_model + mesh + loss_block_ngrps: the blocked warm-start init
+    device_puts sky blocks onto the P('data','bl') sharding, so block
+    sizes must land on shard boundaries (a block of 2 groups on a 4-way
+    'bl' mesh previously raised at setup). use_model_snr_weights covers
+    the reweighted-cube re-pin on the same path."""
+    mesh = parallel.make_mesh(n_data=2, n_bl=4)
+    rng = np.random.default_rng(11)
+    gains0 = cal_utils.blank_uvcal_from_uvdata(projected_multitime)
+    gains0.gain_array = gains0.gain_array * (
+        1 + 1e-2 * rng.standard_normal(gains0.gain_array.shape)
+        + 1e-2j * rng.standard_normal(gains0.gain_array.shape)
+    )
+    corrupted = cal_utils.apply_gains(projected_multitime, gains0, inverse=True)
+    model, resid, fitted, hist = calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=corrupted,
+        gains=None,
+        sky_model=projected_multitime,
+        maxsteps=1500,
+        tol=1e-11,
+        correct_resid=True,
+        correct_model=True,
+        model_regularization="sum",
+        use_model_snr_weights=True,
+        time_parallel=True,
+        mesh=mesh,
+        loss_block_ngrps=2,
+    )
+    assert np.all(np.isfinite(fitted.gain_array))
+    assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
