@@ -1254,10 +1254,49 @@ def _calibrate_time_parallel(
     # given (uploaded chunk-by-chunk, freed immediately) else the data.
     from .ops.lstsq import gram_cholesky_chunk, init_coeffs_from_cholesky_batched
 
-    echo(
-        f"{datetime.datetime.now()} Batched least-squares warm starts...\n",
-        verbose=verbose,
-    )
+    # A checkpointed resume restores the coefficients (they live in the
+    # descent params), so the lstsq warm starts would be recomputed only to
+    # be overwritten — at full-array scale that is minutes of sky-chunk
+    # upload + Cholesky/solve per supervised relaunch
+    # (calamity_tpu.supervisor). Skip them when a checkpoint will provide
+    # the parameters and nothing else consumes the init by-products:
+    # freeze_model keeps coefficients as loss CONSTANTS outside the
+    # checkpoint, "sum" regularization needs the prior sums, SNR
+    # reweighting rewrites the (uncheckpointed) weights, and a profiling
+    # run descends from the warm-started coefficients.
+    skip_init = False
+    if (
+        checkpoint_dir is not None
+        and resume
+        and not freeze_model
+        and model_regularization != "sum"
+        and not use_model_snr_weights
+        and n_profile_steps <= 0
+    ):
+        import os as _os
+
+        from .solver.checkpoint import latest_checkpoint as _latest_ck
+
+        _ckb = _os.path.join(checkpoint_dir, "batched")
+        if comps_precision == "mixed":
+            skip_init = (
+                _latest_ck(_os.path.join(_ckb, "phase_f32")) is not None
+                or _latest_ck(_os.path.join(_ckb, "phase_bf16")) is not None
+            )
+        else:
+            skip_init = _latest_ck(_ckb) is not None
+
+    if skip_init:
+        echo(
+            f"{datetime.datetime.now()} Checkpoint found: skipping "
+            "least-squares warm starts (restored parameters supersede them)\n",
+            verbose=verbose,
+        )
+    else:
+        echo(
+            f"{datetime.datetime.now()} Batched least-squares warm starts...\n",
+            verbose=verbose,
+        )
     from .parallel.batched import _loss_block_size
 
     fg_r_b, fg_i_b = [], []
@@ -1266,6 +1305,14 @@ def _calibrate_time_parallel(
     wsum_b = jnp.zeros((nbatch,), dtype=spec.dtype)
     for cnum in range(nchunks):
         comps_dev = fit_chunks[cnum][0]
+        if skip_init:
+            zero = jnp.zeros(
+                (nbatch, fit_chunks[cnum][1].shape[0], comps_dev.shape[-1]),
+                dtype=spec.dtype,
+            )
+            fg_r_b.append(put_coeffs(zero))
+            fg_i_b.append(put_coeffs(zero))
+            continue
         chol, active = gram_cholesky_chunk(comps_dev)
         ngrps = fit_chunks[cnum][1].shape[0]
         nu = comps_dev.shape[0]

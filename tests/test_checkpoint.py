@@ -390,6 +390,31 @@ def test_batched_checkpoint_resume_mixed(tmp_path, projected_multitime):
     assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
 
 
+def test_resume_skips_warm_start_lstsq(tmp_path, projected_multitime, monkeypatch):
+    """A checkpointed resume of the batched path must not recompute the
+    lstsq warm starts: the restored parameters supersede them, and at
+    full-array scale they cost minutes of sky-upload + Cholesky/solve per
+    supervised relaunch. The bit-exactness of the resumed trajectory under
+    the skip is covered by test_batched_checkpoint_resume_bitexact_f32
+    (same configuration); this test pins that the skip actually engages."""
+    ck = str(tmp_path / "ck")
+    _run_batched(projected_multitime, ck, maxsteps=60)
+
+    from calamity_tpu.ops import lstsq as lstsq_mod
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("lstsq warm start recomputed on a resumed fit")
+
+    monkeypatch.setattr(lstsq_mod, "gram_cholesky_chunk", _boom)
+    model, resid, gains, hist = _run_batched(projected_multitime, ck, maxsteps=120)
+    assert len(np.asarray(hist[0][0]["loss"])) == 120
+    assert np.all(np.isfinite(gains.gain_array))
+
+    # a FRESH fit (no checkpoint to restore) still needs the warm starts
+    with pytest.raises(AssertionError, match="recomputed"):
+        _run_batched(projected_multitime, str(tmp_path / "fresh"), maxsteps=10)
+
+
 def test_batched_checkpoint_resume_sharded(tmp_path, projected_multitime):
     """Checkpoint/resume of the batched descent under the virtual 8-device
     mesh: restored state is device_put back onto the mesh and the resumed
