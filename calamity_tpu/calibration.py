@@ -897,7 +897,15 @@ def _calibrate_time_scan(
             all_params = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *[o[0] for o in outputs]
             )
-            history = np.stack([o[1] for o in outputs])
+            # stored rows carry the SAVING run's maxsteps; fresh rows this
+            # run's — a resume may change the step budget (the serial and
+            # batched paths both support that), so pad ragged rows with the
+            # history's nan sentinel before stacking
+            hlen = max(len(o[1]) for o in outputs)
+            history = np.stack([
+                np.concatenate([o[1], np.full(hlen - len(o[1]), np.nan)])
+                for o in outputs
+            ])
             nsteps = np.asarray([o[2] for o in outputs])
         else:
             all_params, history, nsteps, finals = scanned_warmstart_fit_core(

@@ -25,6 +25,7 @@ BASELINE.json's north star.
 
 from __future__ import annotations
 
+import collections
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -61,11 +62,14 @@ def _loss_block_size(ngrps, gmax, requested, multiple_of=1):
     return b if b < ngrps else None
 
 
-def _blocked_chunk_losses(chunk_losses, gr, gi, fr, fi, dr, di, w, comps, a0, a1,
-                          blk):
-    """Evaluate one chunk's per-slice losses as a lax.scan over group
+def _blocked_chunk_scan(term_fn, n_out, gr, gi, fr, fi, dr, di, w, comps,
+                        a0, a1, blk):
+    """Evaluate one chunk's per-slice loss terms as a lax.scan over group
     blocks of size ``blk``, rematerializing each block on the backward
-    pass.
+    pass. ``term_fn(gr, gi, fr_b, fi_b, dr_b, di_b, w_b, comps_b, a0_b,
+    a1_b)`` returns a tuple of ``n_out`` (nbatch,) arrays, accumulated
+    across blocks in the scan carry (one accumulator for the plain loss;
+    loss + model-flux sums for the "sum"-regularized one).
 
     The step's HBM peak is NOT the data cube but the ~8-10 cube-sized
     activation transients of the loss (gain products, foreground model,
@@ -105,15 +109,28 @@ def _blocked_chunk_losses(chunk_losses, gr, gi, fr, fi, dr, di, w, comps, a0, a1
             )
         else:
             comps_b = jax.lax.dynamic_slice_in_dim(comps, g0, blk, axis=0)
-        return chunk_losses(gr, gi, fr_b, fi_b, dr_b, di_b, w_b, comps_b,
-                            a0_b, a1_b)
+        return term_fn(gr, gi, fr_b, fi_b, dr_b, di_b, w_b, comps_b,
+                       a0_b, a1_b)
 
-    def body(tot, i):
-        return tot + blocked(i, gr, gi, fr, fi, dr, di, w, comps, a0, a1), None
+    def body(carry, i):
+        out = blocked(i, gr, gi, fr, fi, dr, di, w, comps, a0, a1)
+        return tuple(c + o for c, o in zip(carry, out)), None
 
     nbatch = gr.shape[0]
-    total, _ = jax.lax.scan(
-        body, jnp.zeros((nbatch,), dtype=gr.dtype), jnp.arange(nblk)
+    zero = jnp.zeros((nbatch,), dtype=gr.dtype)
+    carry, _ = jax.lax.scan(
+        body, tuple(zero for _ in range(n_out)), jnp.arange(nblk)
+    )
+    return carry
+
+
+def _blocked_chunk_losses(chunk_losses, gr, gi, fr, fi, dr, di, w, comps, a0, a1,
+                          blk):
+    """Single-accumulator wrapper over _blocked_chunk_scan (the plain
+    chi-square path)."""
+    (total,) = _blocked_chunk_scan(
+        lambda *a: (chunk_losses(*a),), 1,
+        gr, gi, fr, fi, dr, di, w, comps, a0, a1, blk,
     )
     return total
 
@@ -227,7 +244,6 @@ def batched_chunk_losses_sum_regularized(
     total = 0.0
     mr_sum = 0.0
     mi_sum = 0.0
-    nbatch = g_r.shape[0]
     for cnum, (comps, a0, a1) in enumerate(chunks):
         fr, fi = fg_r[cnum], fg_i[cnum]
         dr, di, w = data_r[cnum], data_i[cnum], wgts[cnum]
@@ -236,43 +252,8 @@ def batched_chunk_losses_sum_regularized(
         gmax = ngrps // nu if 1 < nu < ngrps else 1
         blk = _loss_block_size(ngrps, gmax, loss_block, loss_block_unit)
         if blk is not None:
-            nblk = ngrps // blk
-
-            # slice INSIDE the checkpointed fn (see _blocked_chunk_losses:
-            # outside-sliced inputs would be stacked per iteration as
-            # checkpoint residuals — the full cube again)
-            @jax.checkpoint
-            def blocked(i, gr, gi, fr_a, fi_a, dr_a, di_a, w_a, comps_a,
-                        a0_a, a1_a, nu=nu, ngrps=ngrps):
-                g0 = i * blk
-                sl = partial(jax.lax.dynamic_slice_in_dim, start_index=g0,
-                             slice_size=blk)
-                if nu == 1:
-                    comps_b = comps_a
-                elif nu < ngrps:
-                    gmax_l = ngrps // nu
-                    comps_b = jax.lax.dynamic_slice_in_dim(
-                        comps_a, g0 // gmax_l, blk // gmax_l, axis=0
-                    )
-                else:
-                    comps_b = sl(comps_a, axis=0)
-                return chunk_terms(
-                    gr, gi, sl(fr_a, axis=1), sl(fi_a, axis=1),
-                    sl(dr_a, axis=1), sl(di_a, axis=1), sl(w_a, axis=1),
-                    comps_b, sl(a0_a, axis=0), sl(a1_a, axis=0),
-                )
-
-            def body(carry, i, fr=fr, fi=fi, dr=dr, di=di, w=w, comps=comps,
-                     a0=a0, a1=a1, blocked=blocked):
-                tot_c, mr_c, mi_c = carry
-                loss_b, mr_b, mi_b = blocked(
-                    i, g_r, g_i, fr, fi, dr, di, w, comps, a0, a1
-                )
-                return (tot_c + loss_b, mr_c + mr_b, mi_c + mi_b), None
-
-            zero = jnp.zeros((nbatch,), dtype=g_r.dtype)
-            (tot_c, mr_c, mi_c), _ = jax.lax.scan(
-                body, (zero, zero, zero), jnp.arange(nblk)
+            tot_c, mr_c, mi_c = _blocked_chunk_scan(
+                chunk_terms, 3, g_r, g_i, fr, fi, dr, di, w, comps, a0, a1, blk,
             )
             total = total + tot_c
             mr_sum = mr_sum + mr_c
@@ -644,7 +625,13 @@ def _aval_key(tree):
     return (treedef, tuple((tuple(l.shape), jnp.dtype(l.dtype).name) for l in leaves))
 
 
-_SEGMENT_PLAN_CACHE: dict = {}
+# LRU-bounded: each plan pins a compiled executable (minutes of XLA at
+# full scale, large on host) — a long-lived process sweeping maxsteps /
+# checkpoint cadence / shapes must not accumulate one per configuration
+# (review r3). Capacity 4 covers the realistic concurrent set (two
+# precision phases x a profiling variant) with room to spare.
+_SEGMENT_PLAN_CACHE: collections.OrderedDict = collections.OrderedDict()
+_SEGMENT_PLAN_CACHE_CAPACITY = 4
 
 
 class BatchedSegmentPlan:
@@ -766,8 +753,18 @@ def make_segment_plan(cfg: FitConfig, checkpoint_every, chunks, data_r, data_i,
     plan = _SEGMENT_PLAN_CACHE.get(key)
     if plan is None:
         plan = BatchedSegmentPlan(cfg, seg, args_sds)
-        _SEGMENT_PLAN_CACHE[key] = plan
+        _cache_segment_plan(key, plan)
+    else:
+        _SEGMENT_PLAN_CACHE.move_to_end(key)
     return plan
+
+
+def _cache_segment_plan(key, plan):
+    """Insert into the LRU-bounded plan cache, evicting the oldest
+    entries past capacity (each entry pins a compiled executable)."""
+    _SEGMENT_PLAN_CACHE[key] = plan
+    while len(_SEGMENT_PLAN_CACHE) > _SEGMENT_PLAN_CACHE_CAPACITY:
+        _SEGMENT_PLAN_CACHE.popitem(last=False)
 
 
 def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, g_i,

@@ -472,6 +472,17 @@ def test_scan_checkpoint_resume(tmp_path, projected_multitime):
     assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
     assert np.array_equal(model_a.data_array, model_b.data_array)
 
+    # a resume may CHANGE the step budget (supervised relaunches tune it;
+    # the serial and batched paths both support this) — stored rows carry
+    # the saving run's maxsteps, fresh rows the new one, and the stacked
+    # history must pad with the nan sentinel instead of crashing (review r3)
+    shutil.rmtree(os.path.join(scan_dir, "step_2"))
+    model_c, resid_c, gains_c, hist_c = run(ck, maxsteps=220)
+    row0 = np.asarray(hist_c[0][0]["loss"], dtype=float)  # restored: 150 steps
+    row1 = np.asarray(hist_c[0][1]["loss"], dtype=float)  # fresh: 220 steps
+    assert np.array_equal(row0, np.asarray(hist_a[0][0]["loss"]))
+    assert len(row1) == 220 and np.all(np.isfinite(row1))
+
 
 def test_checkpointed_divergence_terminates(tmp_path, projected):
     """A diverging checkpointed fit must terminate instead of rewriting the

@@ -613,10 +613,10 @@ def test_auto_layout_plan_matches_jit_path(projected_multitime, monkeypatch):
     monkeypatch.setenv("CALAMITY_SEGMENT_LAYOUTS", "jit")
     model_j, resid_j, gains_j, hist_j = calibration.calibrate_and_model_dpss(**common)
     monkeypatch.delenv("CALAMITY_SEGMENT_LAYOUTS")
-    n_plans_before = len(_SEGMENT_PLAN_CACHE)
+    _SEGMENT_PLAN_CACHE.clear()  # count THIS fit's plans (the cache is LRU-bounded)
     model_a, resid_a, gains_a, hist_a = calibration.calibrate_and_model_dpss(**common)
     # the auto route actually built plans (one per mixed-precision phase)
-    assert len(_SEGMENT_PLAN_CACHE) > n_plans_before
+    assert len(_SEGMENT_PLAN_CACHE) == 2
     for t in range(3):
         la = np.asarray(hist_a[0][t]["loss"])
         lj = np.asarray(hist_j[0][t]["loss"])
@@ -650,14 +650,28 @@ def test_segment_plan_cache_reuse(projected_multitime):
         time_parallel=True,
         mesh=False,
     )
+    from calamity_tpu.parallel.batched import _SEGMENT_PLAN_CACHE_CAPACITY
+
+    _SEGMENT_PLAN_CACHE.clear()  # the cache is process-global and LRU-bounded
     calibration.calibrate_and_model_dpss(**common)
     n_after_first = len(_SEGMENT_PLAN_CACHE)
     assert n_after_first > 0
-    # the cache is process-global: select this fit's plans by segment length
     plans = [p for p in _SEGMENT_PLAN_CACHE.values() if p.seg_cap == 40]
     assert plans  # one per mixed-precision phase
     calibration.calibrate_and_model_dpss(**common)
     assert len(_SEGMENT_PLAN_CACHE) == n_after_first
+
+    # the cache is BOUNDED: a process sweeping configurations must not pin
+    # one compiled full-scale executable per configuration forever
+    # (review r3) — inserting past capacity evicts the oldest entries
+    from calamity_tpu.parallel.batched import _cache_segment_plan
+
+    first_real_key = next(iter(_SEGMENT_PLAN_CACHE))
+    for i in range(_SEGMENT_PLAN_CACHE_CAPACITY + 2):
+        _cache_segment_plan(("synthetic", i), object())
+    assert len(_SEGMENT_PLAN_CACHE) <= _SEGMENT_PLAN_CACHE_CAPACITY
+    assert first_real_key not in _SEGMENT_PLAN_CACHE
+    _SEGMENT_PLAN_CACHE.clear()
 
 
 def test_checkpoint_resume_under_auto_plan(tmp_path, projected_multitime):

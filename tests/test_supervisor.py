@@ -158,7 +158,11 @@ def test_hang_detection_kills_and_retries():
     code = supervisor.run_supervised(
         [sys.executable, "-c", script],
         max_restarts=2,
-        hang_timeout_s=3.0,
+        # generous vs interpreter startup: under a loaded host (full-scale
+        # XLA compile in a sibling process) the RELAUNCHED child can take
+        # seconds to print its first byte, and a tight timeout kills the
+        # healthy relaunch as hung, exhausting restarts (observed flake)
+        hang_timeout_s=10.0,
         probe_fn=lambda: True,
         echo=lambda *_: None,
         sleep_fn=lambda *_: None,
@@ -173,7 +177,7 @@ def test_carriage_return_output_counts_as_liveness():
     raw bytes, not newline-terminated lines (review r3)."""
     script = (
         "import sys, time\n"
-        "for i in range(6):\n"
+        "for i in range(12):\n"
         "    sys.stdout.write(f'\\rprogress {i}')\n"
         "    sys.stdout.flush()\n"
         "    time.sleep(1.0)\n"
@@ -182,7 +186,7 @@ def test_carriage_return_output_counts_as_liveness():
     code = supervisor.run_supervised(
         [sys.executable, "-c", script],
         max_restarts=0,  # any hang-kill would exhaust restarts -> nonzero
-        hang_timeout_s=3.0,  # shorter than the 6 s run, longer than 1 s gaps
+        hang_timeout_s=6.0,  # shorter than the 12 s run, 6x the 1 s gaps
         probe_fn=lambda: True,
         echo=lambda *_: None,
         sleep_fn=lambda *_: None,
