@@ -1314,7 +1314,13 @@ def _calibrate_time_parallel(
     for cnum in range(nchunks):
         comps_dev = fit_chunks[cnum][0]
         if skip_init:
-            zero = jnp.zeros(
+            # HOST zeros: the resume restores the real coefficients, and a
+            # device-resident placeholder would stay pinned (as the resume's
+            # aval template) for the whole descent — at full-array scale
+            # that superseded copy of the coefficient set is HBM the
+            # segment plan needs. The mesh path still device_puts (the
+            # restore reads shardings off the entry leaves).
+            zero = np.zeros(
                 (nbatch, fit_chunks[cnum][1].shape[0], comps_dev.shape[-1]),
                 dtype=spec.dtype,
             )
@@ -1480,7 +1486,24 @@ def _calibrate_time_parallel(
     # comps precision for the descent (docs/BF16_COMPS.md): bf16 basis
     # tensors halve the dominant HBM traffic; "mixed" polishes in f32 from
     # the bf16 warm start to recover the full f32 convergence floor
-    if comps_precision in ("bfloat16", "mixed"):
+    import os as _os
+
+    ck_base = (
+        None if checkpoint_dir is None else _os.path.join(checkpoint_dir, "batched")
+    )
+    # a mixed-precision resume that lands in phase 2 never touches the bf16
+    # basis tensors — detect it BEFORE converting so the unused bf16 copy is
+    # not device-resident through the f32 descent (HBM headroom at
+    # full-array scale)
+    skip1 = False
+    if comps_precision == "mixed" and ck_base is not None and resume:
+        from .solver.checkpoint import latest_checkpoint as _latest_ck
+
+        skip1 = _latest_ck(_os.path.join(ck_base, "phase_f32")) is not None
+
+    if comps_precision == "bfloat16" or (
+        comps_precision == "mixed" and (n_profile_steps > 0 or not skip1)
+    ):
         from .solver.fit import convert_chunks_dtype
 
         fit_chunks_lo = convert_chunks_dtype(fit_chunks, jnp.bfloat16)
@@ -1504,11 +1527,6 @@ def _calibrate_time_parallel(
         jax.block_until_ready(prof_res.final_loss)
         jax.profiler.stop_trace()
 
-    import os as _os
-
-    ck_base = (
-        None if checkpoint_dir is None else _os.path.join(checkpoint_dir, "batched")
-    )
     if comps_precision == "bfloat16":
         result, history, nsteps_slice = run_batched(
             fit_chunks_lo, g_r_b, g_i_b, fg_r_b, fg_i_b, ckdir=ck_base
@@ -1522,15 +1540,12 @@ def _calibrate_time_parallel(
         # optimizer state carried across the precision switch and the
         # phase-1 diagnostics persisted so resumed histories match an
         # uninterrupted run
-        from .solver.checkpoint import (
-            latest_checkpoint,
-            load_phase_meta,
-            save_phase_meta,
-        )
+        from .solver.checkpoint import load_phase_meta, save_phase_meta
 
         ck1 = _os.path.join(ck_base, "phase_bf16")
         ck2 = _os.path.join(ck_base, "phase_f32")
-        skip1 = resume and latest_checkpoint(ck2) is not None
+        # skip1 (computed above, before the bf16 conversion): resume lands
+        # directly in the f32 polish phase
         if skip1:
             meta = load_phase_meta(ck_base)
             if meta is not None:

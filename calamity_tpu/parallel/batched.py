@@ -759,6 +759,15 @@ def make_segment_plan(cfg: FitConfig, checkpoint_every, chunks, data_r, data_i,
     return plan
 
 
+def _multidevice(tree):
+    """True if any leaf is a jax.Array sharded over more than one device
+    (i.e. a mesh run)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and len(leaf.sharding.device_set) > 1:
+            return True
+    return False
+
+
 def _cache_segment_plan(key, plan):
     """Insert into the LRU-bounded plan cache, evicting the oldest
     entries past capacity (each entry pins a compiled executable)."""
@@ -818,7 +827,29 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
     # EMPTY const tuples so params can be donated without aliasing
     fg_rc = fg_r if cfg.freeze_model else ()
     fg_ic = fg_i if cfg.freeze_model else ()
-    opt_state = opt.init(params) if opt_state0 is None else opt_state0
+    ckpt_path = (
+        latest_checkpoint(checkpoint_dir) if checkpoint_dir is not None else None
+    )
+    resuming = resume and ckpt_path is not None
+    # HBM discipline on resume (observed RESOURCE_EXHAUSTED at full-array
+    # scale): every entry buffer the restore supersedes stays device-
+    # resident for the whole descent unless we avoid allocating it — on a
+    # FRESH run the same buffers are donated into the first segment and
+    # freed, which is why fresh runs fit where naive resumes OOM. The
+    # optimizer state is the big one (~2x the coefficient set for
+    # Adam-family optimizers), so on resume the template is built with
+    # eval_shape (no allocation); restored leaves upload at the first
+    # segment call. Mesh runs keep a materialized init — its per-leaf
+    # shardings are the restore targets — and explicitly delete it after
+    # the restore instead.
+    opt_state_is_template = False
+    if opt_state0 is not None:
+        opt_state = opt_state0
+    elif resuming and not _multidevice(params):
+        opt_state = jax.eval_shape(opt.init, params)
+        opt_state_is_template = True
+    else:
+        opt_state = opt.init(params)
     big = jnp.asarray(9e99 if dtype == jnp.float64 else 3e38, dtype=dtype)
     prev = jnp.full((nbatch,), big, dtype=dtype)
     frozen = jnp.zeros((nbatch,), dtype=bool)
@@ -840,10 +871,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
     step_total = 0
     warmup_pending = True
 
-    ckpt_path = (
-        latest_checkpoint(checkpoint_dir) if checkpoint_dir is not None else None
-    )
-    if resume and ckpt_path is not None:
+    if resuming:
         warmup_pending = False  # the warm-up ran before the first checkpoint
         echo(f"{datetime.datetime.now()} Resuming batched fit from {ckpt_path}",
              verbose=verbose)
@@ -872,6 +900,14 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             return leaf
 
         tree = jax.tree_util.tree_map(replace_on, like_tree, tree)
+        if opt_state0 is None and not opt_state_is_template:
+            # mesh runs materialize opt.init as the restore's sharding
+            # template (replace_on above); it is superseded now, and — being
+            # locally created — safe to free before the first segment pins
+            # the descent's HBM peak
+            for leaf in jax.tree_util.tree_leaves(opt_state):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
         params = tree["params"]
         opt_state = tree["opt_state"]
         best_params = tree["best_params"]

@@ -390,6 +390,114 @@ def test_batched_checkpoint_resume_mixed(tmp_path, projected_multitime):
     assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
 
 
+def test_resume_accepts_host_entry_state(tmp_path, projected_multitime):
+    """batched_fit_checkpointed on a resume must accept pure-HOST (numpy)
+    entry parameters and reproduce the device-entry trajectory bit-exactly.
+
+    This is the contract the full-scale HBM discipline relies on: on a
+    resume the restore supersedes every entry buffer, so the driver keeps
+    the placeholder coefficients on the host and the optimizer-state
+    template is built without allocating (observed full-array OOM: the
+    superseded device-resident init + opt.init ate the segment plan's
+    entire headroom — a fresh run donates those same buffers into its
+    first segment, which is why only resumes blew up)."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import batched_fit_checkpointed
+    from calamity_tpu.solver.fit import FitConfig
+    from calamity_tpu.solver.tensorize import FitSpec
+
+    uvd = projected_multitime
+    comps = models.yield_pbl_dpss_model_comps(
+        uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3
+    )
+    ants = sorted(set(uvd.ant_1_array) | set(uvd.ant_2_array))
+    ants_map = {a: i for i, a in enumerate(ants)}
+    spec = FitSpec(uvd, comps, ants_map, dtype=np.float32)
+    pol = uvd.get_pols()[0]
+    times = np.unique(uvd.time_array)[:2]
+    data_r, data_i, wgts = [], [], []
+    for t in times:
+        dr, di, w = spec.pack_data(uvd, pol, t, as_numpy=True)
+        data_r.append(dr)
+        data_i.append(di)
+        wgts.append(w)
+    nchunks = len(spec.chunks)
+    data_r = tuple(np.stack([d[c] for d in data_r]) for c in range(nchunks))
+    data_i = tuple(np.stack([d[c] for d in data_i]) for c in range(nchunks))
+    wgts = tuple(np.stack([w[c] for w in wgts]) for c in range(nchunks))
+    g_r = np.ones((2, spec.nants, spec.nfreqs), dtype=np.float32)
+    g_i = np.zeros((2, spec.nants, spec.nfreqs), dtype=np.float32)
+    chunks = spec.device_chunks()
+    fg_shapes = [
+        (2, chunks[c][1].shape[0], chunks[c][0].shape[-1])
+        for c in range(nchunks)
+    ]
+    cfg = FitConfig(
+        optimizer="Adamax", opt_kwargs=(("learning_rate", 1e-2),),
+        maxsteps=120, tol=0.0,
+    )
+    prior = jnp.zeros((2,), dtype=jnp.float32)
+
+    def run(ckdir, device_entries):
+        fg_r = tuple(np.zeros(s, dtype=np.float32) for s in fg_shapes)
+        fg_i = tuple(np.zeros(s, dtype=np.float32) for s in fg_shapes)
+        gr, gi = g_r, g_i
+        if device_entries:
+            fg_r = tuple(jnp.asarray(x) for x in fg_r)
+            fg_i = tuple(jnp.asarray(x) for x in fg_i)
+            gr, gi = jnp.asarray(gr), jnp.asarray(gi)
+        return batched_fit_checkpointed(
+            cfg, chunks, data_r, data_i, wgts, gr, gi, fg_r, fg_i,
+            prior, prior, ckdir, 50, True, False,
+        )
+
+    ck_dev = str(tmp_path / "dev")
+    ck_host = str(tmp_path / "host")
+    # interrupt both at step 60 (maxsteps=60 run), then resume to 120
+    cfg60 = cfg._replace(maxsteps=60)
+    for ck in (ck_dev, ck_host):
+        batched_fit_checkpointed(
+            cfg60, chunks, data_r, data_i, wgts,
+            jnp.asarray(g_r), jnp.asarray(g_i),
+            tuple(jnp.zeros(s, dtype=jnp.float32) for s in fg_shapes),
+            tuple(jnp.zeros(s, dtype=jnp.float32) for s in fg_shapes),
+            prior, prior, ck, 50, True, False,
+        )
+    res_dev = run(ck_dev, device_entries=True)
+    res_host = run(ck_host, device_entries=False)  # numpy templates
+    assert np.array_equal(np.asarray(res_dev.g_r), np.asarray(res_host.g_r))
+    n = int(res_dev.nsteps)
+    assert n == int(res_host.nsteps) == 120
+    assert np.array_equal(
+        np.asarray(res_dev.loss_history[:n]), np.asarray(res_host.loss_history[:n])
+    )
+
+
+def test_phase2_resume_skips_bf16_conversion(tmp_path, projected_multitime,
+                                             monkeypatch):
+    """A mixed-precision resume that lands in phase 2 must not build the
+    bf16 basis copy: it is never read, and at full-array scale the unused
+    device-resident copy costs HBM headroom the f32 segment plan needs."""
+    ck = str(tmp_path / "ck")
+    _run_batched(projected_multitime, ck, maxsteps=120, comps_precision="mixed")
+    assert ckpt_mod.latest_checkpoint(
+        os.path.join(ck, "batched", "phase_f32")
+    ) is not None
+
+    from calamity_tpu.solver import fit as fit_mod
+
+    def _boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("bf16 basis conversion ran on a phase-2 resume")
+
+    monkeypatch.setattr(fit_mod, "convert_chunks_dtype", _boom)
+    model, resid, gains, hist = _run_batched(
+        projected_multitime, ck, maxsteps=120, comps_precision="mixed"
+    )
+    assert len(np.asarray(hist[0][0]["loss"])) == 240  # both phases recorded
+    assert np.all(np.isfinite(gains.gain_array))
+
+
 def test_resume_skips_warm_start_lstsq(tmp_path, projected_multitime, monkeypatch):
     """A checkpointed resume of the batched path must not recompute the
     lstsq warm starts: the restored parameters supersede them, and at
