@@ -59,6 +59,14 @@ TRANSIENT_PATTERNS = (
     HANG_MARKER,
 )
 
+# Failure signatures retried AT MOST ONCE per supervised run: a device-HBM
+# ResourceExhausted immediately after a worker crash/restart can be stale
+# allocation residue on the relay rather than a genuinely oversized
+# program. One relaunch (resuming from the checkpoint) disambiguates — a
+# second identical failure is treated as real and surfaces. Deterministic
+# program-too-big failures therefore cost one extra launch, never a loop.
+RETRY_ONCE_PATTERNS = ("RESOURCE_EXHAUSTED", "ResourceExhausted")
+
 # classification looks only at the END of the output: the fatal error is
 # the last thing a dying child prints, while RECOVERED transport warnings
 # (grpc retry chatter mentioning UNAVAILABLE) can sit anywhere earlier in
@@ -77,6 +85,13 @@ def is_transient_device_failure(text: str) -> bool:
     device/transport failure (vs a genuine program error)."""
     tail = text[-CLASSIFY_TAIL_BYTES:]
     return any(p in tail for p in TRANSIENT_PATTERNS)
+
+
+def is_retry_once_failure(text: str) -> bool:
+    """Whether the END of the captured child output names a failure worth
+    exactly one relaunch (see RETRY_ONCE_PATTERNS)."""
+    tail = text[-CLASSIFY_TAIL_BYTES:]
+    return any(p in tail for p in RETRY_ONCE_PATTERNS)
 
 
 def probe_device(timeout_s: float = 180.0) -> bool:
@@ -215,6 +230,7 @@ def run_supervised(
 
     run_fn = run_fn or default_run
     restarts = 0
+    retry_once_spent = False
     while True:
         echo(
             f"{datetime.datetime.now()} supervisor: launching "
@@ -225,11 +241,24 @@ def run_supervised(
             echo(f"{datetime.datetime.now()} supervisor: command succeeded")
             return 0
         if not is_transient_device_failure(tail):
-            echo(
-                f"{datetime.datetime.now()} supervisor: non-transient failure "
-                f"(exit {code}) — not retrying"
-            )
-            return code
+            if (
+                not retry_once_spent
+                and restarts < max_restarts
+                and is_retry_once_failure(tail)
+            ):
+                retry_once_spent = True
+                echo(
+                    f"{datetime.datetime.now()} supervisor: device memory "
+                    f"exhausted (exit {code}) — retrying ONCE (worker "
+                    "restarts can leave stale HBM residue; a second "
+                    "identical failure is treated as real)"
+                )
+            else:
+                echo(
+                    f"{datetime.datetime.now()} supervisor: non-transient "
+                    f"failure (exit {code}) — not retrying"
+                )
+                return code
         if restarts >= max_restarts:
             echo(
                 f"{datetime.datetime.now()} supervisor: transient failure but "

@@ -51,6 +51,46 @@ def test_run_supervised_restarts_until_success():
     assert len(probes) == 2  # one wait_for_device round per restart
 
 
+def test_resource_exhausted_retried_exactly_once():
+    """A device-HBM ResourceExhausted is retried ONCE (worker restarts can
+    leave stale HBM residue); a second identical failure surfaces as real."""
+    oom = "jax.errors.JaxRuntimeError: RESOURCE_EXHAUSTED: TPU backend error"
+    attempts = []
+
+    def fail_twice(argv):
+        attempts.append(1)
+        return 1, oom
+
+    code = supervisor.run_supervised(
+        ["cmd"],
+        max_restarts=5,
+        run_fn=fail_twice,
+        probe_fn=lambda: True,
+        echo=lambda *_: None,
+        sleep_fn=lambda *_: None,
+    )
+    assert code == 1
+    assert len(attempts) == 2  # one retry, then the failure surfaces
+
+    # a transient OOM (stale residue) recovers on the single retry
+    attempts.clear()
+
+    def fail_once(argv):
+        attempts.append(1)
+        return (0, "done") if len(attempts) > 1 else (1, oom)
+
+    code = supervisor.run_supervised(
+        ["cmd"],
+        max_restarts=5,
+        run_fn=fail_once,
+        probe_fn=lambda: True,
+        echo=lambda *_: None,
+        sleep_fn=lambda *_: None,
+    )
+    assert code == 0
+    assert len(attempts) == 2
+
+
 def test_run_supervised_stops_on_real_failure():
     """A non-transient failure surfaces immediately — no retries."""
     attempts = []
