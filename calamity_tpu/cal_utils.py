@@ -19,18 +19,15 @@ def blank_uvcal_from_uvdata(uvdata):
     return CalData.blank_from_visdata(uvdata)
 
 
-def apply_gains(uvdata, gains, inverse=False):
-    """Calibrate (divide by g_i conj(g_j)) or corrupt (inverse=True, multiply).
+def _gain_time_blocks(uvdata, gains):
+    """(a0, a1, tidx): per-blt gain antenna indices and gain-time index.
 
-    Gain flags are OR'd into the output data flags
-    (reference cal_utils.py:62-105)."""
-    calibrated = uvdata.copy()
+    Matches each blt time to a gain time at atol 1e-7 like the reference;
+    unique times are matched once and broadcast — a per-blt isclose scan is
+    millions of Python iterations at full-HERA blt counts."""
     ant_index = {int(a): i for i, a in enumerate(gains.ant_array)}
     a0 = np.array([ant_index[int(a)] for a in uvdata.ant_1_array])
     a1 = np.array([ant_index[int(a)] for a in uvdata.ant_2_array])
-    # match each blt time to a gain time (atol 1e-7 like the reference);
-    # match UNIQUE times once and broadcast — a per-blt isclose scan is
-    # millions of Python iterations at full-HERA blt counts
     utimes, uinv = np.unique(uvdata.time_array, return_inverse=True)
     umatch = np.zeros(len(utimes), dtype=np.int64)
     for i, t in enumerate(utimes):
@@ -38,7 +35,19 @@ def apply_gains(uvdata, gains, inverse=False):
         if len(matches) == 0:
             raise ValueError(f"no gain solution for time {t}")
         umatch[i] = matches[0]
-    tidx = umatch[uinv]
+    return a0, a1, umatch[uinv]
+
+
+def apply_gains(uvdata, gains, inverse=False, inplace=False):
+    """Calibrate (divide by g_i conj(g_j)) or corrupt (inverse=True, multiply).
+
+    Gain flags are OR'd into the output data flags
+    (reference cal_utils.py:62-105). ``inplace=True`` mutates ``uvdata``
+    and returns it instead of copying — a full-HERA many-times VisData is
+    ~10 GiB of host data, so every avoidable copy matters in the driver's
+    write-back (the round-3 endurance run OOM'd the host there)."""
+    calibrated = uvdata if inplace else uvdata.copy()
+    a0, a1, tidx = _gain_time_blocks(uvdata, gains)
 
     for pnum, pol in enumerate(uvdata.get_pols()):
         gp = int(
@@ -63,3 +72,36 @@ def apply_gains(uvdata, gains, inverse=False):
                 gf[a0[rows], :, ti] | gf[a1[rows], :, ti]
             )
     return calibrated
+
+
+def subtract_model_with_gains(resid, model, gains):
+    """``resid -= g_i conj(g_j) · model`` without a full VisData copy.
+
+    Equivalent to ``apply_gains(model, gains, inverse=True)`` followed by
+    subtraction and zeroing the residual where the gain-corrupted model is
+    flagged (the reference's residual formation, calibration.py:1322-1327)
+    — but the corrupted model exists only one (time, pol) block at a time.
+    ``model`` is left untouched (the ``correct_model=True`` output keeps
+    the deconvolved model). Neither object's flags are modified."""
+    a0, a1, tidx = _gain_time_blocks(model, gains)
+    for pnum, pol in enumerate(model.get_pols()):
+        gp = int(
+            np.nonzero(
+                gains.jones_array == polstr2num(pol, x_orientation=gains.x_orientation)
+            )[0][0]
+        )
+        g = gains.gain_array[:, 0, :, :, gp]  # (nants, nfreqs, ntimes)
+        gf = gains.flag_array[:, 0, :, :, gp]
+        for ti in np.unique(tidx):
+            rows = np.nonzero(tidx == ti)[0]
+            gg = g[a0[rows], :, ti] * np.conj(g[a1[rows], :, ti])
+            blk = resid.data_array[rows, 0, :, pnum]
+            blk -= model.data_array[rows, 0, :, pnum] * gg
+            flagged = (
+                model.flag_array[rows, 0, :, pnum]
+                | gf[a0[rows], :, ti]
+                | gf[a1[rows], :, ti]
+            )
+            blk[flagged] = 0.0
+            resid.data_array[rows, 0, :, pnum] = blk
+    return resid

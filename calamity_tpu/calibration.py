@@ -91,6 +91,29 @@ def renormalize(uvdata_reference_model, uvdata_deconv, gains, polarization, time
     gains.gain_array[:, :, :, gindt, polnum_gains] *= scale_factor ** -0.5
 
 
+def _finalize_model_resid(uvdata, model, resid, gains, correct_model, correct_resid):
+    """Form resid = data − g·model; optionally calibrate model/resid outputs.
+
+    Reference parity: calibration.py:1322-1331. Memory-bounded: the
+    gain-corrupted model is never materialized as a separate full VisData —
+    at full-HERA many-times scale each copy is ~10 GiB of host RSS (the
+    first round-3 endurance run OOM'd the host in exactly this block), so
+    the subtraction streams per (time, pol) block and the in-place
+    apply_gains variants mutate the driver-owned deep copies."""
+    if correct_model:
+        # keep the deconvolved model; subtract its gain-corrupted version
+        # from the residual block-by-block
+        cal_utils.subtract_model_with_gains(resid, model, gains)
+    else:
+        model = cal_utils.apply_gains(model, gains, inverse=True, inplace=True)
+        resid.data_array -= model.data_array
+        resid.data_array[model.flag_array] = 0.0
+    resid.data_array[uvdata.flag_array] = 0.0
+    if correct_resid:
+        resid = cal_utils.apply_gains(resid, gains, inplace=True)
+    return model, resid
+
+
 def flag_poltime(data_object, time, polarization):
     """Flag one (time, polarization) of a VisData or CalData
     (reference calibration.py:1334-1350)."""
@@ -571,14 +594,9 @@ def calibrate_and_model_tensor(
                 )
         fit_history[polnum] = fit_history_p
 
-    model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
-    if not correct_model:
-        model = model_with_gains
-    resid.data_array -= model_with_gains.data_array
-    resid.data_array[model_with_gains.flag_array] = 0.0
-    resid.data_array[uvdata.flag_array] = 0.0
-    if correct_resid:
-        resid = cal_utils.apply_gains(resid, gains)
+    model, resid = _finalize_model_resid(
+        uvdata, model, resid, gains, correct_model, correct_resid
+    )
 
     return model, resid, gains, fit_history
 
@@ -950,14 +968,9 @@ def _calibrate_time_scan(
                     additional_flags=uvdata.flag_array,
                 )
 
-    model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
-    if not correct_model:
-        model = model_with_gains
-    resid.data_array -= model_with_gains.data_array
-    resid.data_array[model_with_gains.flag_array] = 0.0
-    resid.data_array[uvdata.flag_array] = 0.0
-    if correct_resid:
-        resid = cal_utils.apply_gains(resid, gains)
+    model, resid = _finalize_model_resid(
+        uvdata, model, resid, gains, correct_model, correct_resid
+    )
     return model, resid, gains, fit_history
 
 
@@ -1125,14 +1138,9 @@ def _calibrate_time_parallel(
 
     fit_history = {polnum: {} for polnum in range(uvdata.Npols)}
     if not slices:
-        model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
-        if not correct_model:
-            model = model_with_gains
-        resid.data_array -= model_with_gains.data_array
-        resid.data_array[model_with_gains.flag_array] = 0.0
-        resid.data_array[uvdata.flag_array] = 0.0
-        if correct_resid:
-            resid = cal_utils.apply_gains(resid, gains)
+        model, resid = _finalize_model_resid(
+            uvdata, model, resid, gains, correct_model, correct_resid
+        )
         return model, resid, gains, fit_history
 
     echo(
@@ -1605,6 +1613,18 @@ def _calibrate_time_parallel(
     g_i_out = np.asarray(result.g_i)
     fg_r_out = [np.asarray(x) for x in result.fg_r]
     fg_i_out = [np.asarray(x) for x in result.fg_i]
+    # release the descent's device footprint before write-back: the data/
+    # weight cubes (plus any plan-layout copies), the padded fit chunks and
+    # the optimizer state are ~10 GiB of HBM at full-array scale, and the
+    # per-slice fg-model reconstruction below needs chunk-sized room
+    result = res1 = None  # noqa: F841 — release device references
+    data_r_b = data_i_b = wgts_b = None
+    fit_chunks = fit_chunks_lo = None  # noqa: F841
+    echo(
+        f"{datetime.datetime.now()} Write-back over {len(slices)} slices "
+        f"(host RSS {utils.rss_gib():.1f} GiB)...\n",
+        verbose=verbose,
+    )
 
     for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
         # per-slice history ends at that slice's convergence step
@@ -1636,14 +1656,9 @@ def _calibrate_time_parallel(
                 additional_flags=uvdata.flag_array,
             )
 
-    model_with_gains = cal_utils.apply_gains(model, gains, inverse=True)
-    if not correct_model:
-        model = model_with_gains
-    resid.data_array -= model_with_gains.data_array
-    resid.data_array[model_with_gains.flag_array] = 0.0
-    resid.data_array[uvdata.flag_array] = 0.0
-    if correct_resid:
-        resid = cal_utils.apply_gains(resid, gains)
+    model, resid = _finalize_model_resid(
+        uvdata, model, resid, gains, correct_model, correct_resid
+    )
     return model, resid, gains, fit_history
 
 

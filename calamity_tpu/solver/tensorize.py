@@ -600,10 +600,19 @@ class FitSpec:
         polnum = polstr2num(polarization, x_orientation=visdata_model.x_orientation)
         pind = int(np.nonzero(visdata_model.polarization_array == polnum)[0][0])
         pind_c = self._conj_pol_ind(visdata_model, polnum)
+        # match the target VisData's precision: complex64 targets keep the
+        # temporaries at half size (the write-back transients at full-HERA
+        # scale are GiB-sized per chunk)
+        real_dt = (
+            np.float32
+            if visdata_model.data_array.dtype == np.complex64
+            else np.float64
+        )
         for meta, (vr, vi) in zip(self.meta, model_chunks):
-            vr = np.asarray(vr, dtype=np.float64)
-            vi = np.asarray(vi, dtype=np.float64)
-            vals = (vr + 1j * vi) * scale_factor
+            vr = np.asarray(vr, dtype=real_dt)
+            vi = np.asarray(vi, dtype=real_dt)
+            vals = vr + 1j * vi
+            vals *= scale_factor
             vals = np.where(meta.conj[..., None], np.conj(vals), vals)
             rows = meta.rows[tind].reshape(-1)
             keep = meta.valid.reshape(-1)  # padding entries must not write

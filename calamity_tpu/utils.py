@@ -22,6 +22,22 @@ def echo(message, verbose=True):
         print(message)
 
 
+def rss_gib():
+    """Current process resident-set size in GiB (0.0 where unreadable).
+
+    Host-memory telemetry for full-array runs: a 331-ant x 1536-ch x
+    8-poltime fit carries several ~10 GiB VisData copies, and the drivers
+    log RSS at the stages that historically approached the host limit."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 2**20
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        pass
+    return 0.0
+
+
 def select_baselines(
     visdata, bllen_min=0.0, bllen_max=np.inf, bl_ew_min=0.0, ex_ants=None, select_ants=None
 ):

@@ -70,6 +70,14 @@ def main():
     ap.add_argument("--loss_block_ngrps", type=int, default=None,
                     help="group-block size for the scanned batched loss "
                          "(bounds activation HBM at many times)")
+    ap.add_argument("--data_dtype", default="complex64",
+                    choices=["complex64", "complex128"],
+                    help="host storage dtype for the visibility cubes. The "
+                         "fit computes in float32 either way; complex64 "
+                         "halves every host VisData copy (~10 GiB each at "
+                         "331 ants x 1536 ch x 8 times — the first "
+                         "endurance run OOM'd a 125 GiB host on complex128 "
+                         "copies in the write-back)")
     args = ap.parse_args()
     if args.prep_only and args.prep_cache is None:
         raise SystemExit("--prep_only requires --prep_cache")
@@ -136,6 +144,9 @@ def main():
                 keep = np.unique(corrupted.time_array)[: args.ntimes]
                 corrupted.select(times=keep, inplace=True)
                 stage(f"  selected {args.ntimes} of {cached_nt} cached times")
+            want_dt = np.dtype(args.data_dtype)
+            if corrupted.data_array.dtype != want_dt:
+                corrupted.data_array = corrupted.data_array.astype(want_dt)
             comps = np.load(
                 os.path.join(args.prep_cache, "comps.npy"), allow_pickle=True
             ).item()
@@ -181,7 +192,7 @@ def main():
         time_array=np.repeat(2459122.25 + 2.0 * np.arange(args.ntimes), nbls),
         uvw_array=np.tile(vecs, (args.ntimes, 1)),
         data_array=np.tile(data[:, None, :, None], (args.ntimes, 1, 1, 1)).astype(
-            np.complex128
+            np.dtype(args.data_dtype)
         ),
         flag_array=np.zeros((nbls * args.ntimes, 1, args.nfreqs, 1), dtype=bool),
         nsample_array=np.ones((nbls * args.ntimes, 1, args.nfreqs, 1), dtype=np.float32),
@@ -303,6 +314,9 @@ def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
     print(f"data/resid : {rms(corrupted.data_array) / rms(resid.data_array):.1f}x")
     if mem_line:
         print(mem_line)
+    from calamity_tpu.utils import rss_gib
+
+    print(f"host RSS  : {rss_gib():6.1f} GiB (data dtype {args.data_dtype})")
 
 
 if __name__ == "__main__":

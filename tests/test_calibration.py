@@ -195,6 +195,65 @@ def test_apply_gains_roundtrip(sky_model, gains_randomized):
             assert np.all(flagged.get_flags(ap + ("xx",)))
 
 
+def test_apply_gains_inplace_matches_copy(sky_model, gains_randomized):
+    g = gains_randomized.copy()
+    g.flag_array[1] = True
+    expect = cal_utils.apply_gains(sky_model, g, inverse=True)
+    target = sky_model.copy()
+    got = cal_utils.apply_gains(target, g, inverse=True, inplace=True)
+    assert got is target  # mutates and returns the input object
+    assert np.array_equal(got.data_array, expect.data_array)
+    assert np.array_equal(got.flag_array, expect.flag_array)
+
+
+def test_subtract_model_with_gains_matches_composition(sky_model, gains_randomized):
+    rng = np.random.default_rng(7)
+    model = sky_model.copy()
+    model.flag_array[3, :, ::5] = True
+    g = gains_randomized.copy()
+    g.flag_array[2] = True
+    resid = sky_model.copy()
+    resid.data_array = (
+        rng.standard_normal(resid.data_array.shape)
+        + 1j * rng.standard_normal(resid.data_array.shape)
+    ).astype(resid.data_array.dtype)
+    # reference composition: materialize g.model, subtract, zero its flags
+    mwg = cal_utils.apply_gains(model, g, inverse=True)
+    expect = resid.data_array - mwg.data_array
+    expect[mwg.flag_array] = 0.0
+    got = resid.copy()
+    cal_utils.subtract_model_with_gains(got, model, g)
+    assert np.allclose(got.data_array, expect)
+    # the model itself is untouched
+    assert np.array_equal(model.data_array, sky_model.data_array)
+
+
+def test_insert_model_complex64_target(sky_model_projected, dpss_vectors, gains):
+    """Write-back into a complex64 VisData keeps values and dtype."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.ops.loss import fg_model_all_chunks
+    from calamity_tpu.solver.tensorize import FitSpec
+
+    ants_map = {int(a): i for i, a in enumerate(gains.ant_array)}
+    spec = FitSpec(sky_model_projected, dpss_vectors, ants_map)
+    chunks = spec.device_chunks()
+    pol = sky_model_projected.get_pols()[0]
+    t0 = spec.times[0]
+    data_r, data_i, wgts = spec.pack_data(sky_model_projected, pol, t0)
+    fg_r = spec.init_coeffs(data_r, wgts)
+    fg_i = spec.init_coeffs(data_i, wgts)
+    model64 = sky_model_projected.copy()
+    model32 = sky_model_projected.copy()
+    model32.data_array = model32.data_array.astype(np.complex64)
+    mc = fg_model_all_chunks(tuple(map(jnp.asarray, fg_r)),
+                             tuple(map(jnp.asarray, fg_i)), chunks)
+    spec.insert_model(model64, mc, pol, t0, 2.5)
+    spec.insert_model(model32, mc, pol, t0, 2.5)
+    assert model32.data_array.dtype == np.complex64
+    assert np.allclose(model32.data_array, model64.data_array, rtol=1e-5)
+
+
 def test_flag_poltime(sky_model_projected_multitime, gains_multitime):
     uvd = sky_model_projected_multitime.copy()
     t0 = np.unique(uvd.time_array)[0]
