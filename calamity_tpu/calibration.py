@@ -1820,6 +1820,7 @@ def read_calibrate_and_model_dpss(
     precision=32,
     use_autocorrs_in_weights=False,
     weights_file=None,
+    host_data_dtype=None,
     **calibration_kwargs,
 ):
     """File-level driver (reference calibration.py:1659-1817).
@@ -1836,10 +1837,25 @@ def read_calibrate_and_model_dpss(
     with ``use_autocorrs_in_weights``. The reference accepts such objects
     only through the in-memory API (calibration.py:225-226); the file hook
     makes them reachable from the shell.
+
+    ``host_data_dtype``: host storage dtype for the visibility cubes
+    ("complex64"/"complex128"; default None keeps the file dtype, matching
+    the reference which always holds pyuvdata complex128 arrays). A
+    precision-32 fit computes in float32 either way; "complex64" halves
+    every host VisData copy — at full-HERA many-times scale each is
+    ~10 GiB, and the data/model/resid/model-with-gains set exceeded a
+    125 GiB host before this lever existed.
     """
     # fail fast on taken output paths before any compute happens
     import os
 
+    if host_data_dtype is not None and np.dtype(host_data_dtype) not in (
+        np.dtype(np.complex64),
+        np.dtype(np.complex128),
+    ):
+        raise ValueError(
+            f"host_data_dtype must be complex64 or complex128, got {host_data_dtype!r}"
+        )
     if not clobber:
         for out in (resid_outfilename, gain_outfilename, model_outfilename,
                     fitted_info_outfilename):
@@ -1849,11 +1865,17 @@ def read_calibrate_and_model_dpss(
     if isinstance(input_data_files, str):
         input_data_files = [input_data_files]
     if isinstance(input_data_files, list):
-        uvd = VisData.from_uvh5(input_data_files[0])
+        uvd = VisData.from_uvh5(input_data_files[0], data_dtype=host_data_dtype)
         for extra in input_data_files[1:]:
-            uvd = uvd + VisData.from_uvh5(extra)
+            uvd = uvd + VisData.from_uvh5(extra, data_dtype=host_data_dtype)
     else:
         uvd = input_data_files
+        if (
+            host_data_dtype is not None
+            and uvd.data_array.dtype != np.dtype(host_data_dtype)
+        ):
+            uvd = uvd.copy()
+            uvd.data_array = uvd.data_array.astype(np.dtype(host_data_dtype))
 
     if use_autocorrs_in_weights and weights_file is not None:
         raise ValueError(
@@ -1880,9 +1902,13 @@ def read_calibrate_and_model_dpss(
         input_model_files = [input_model_files]
     if input_model_files is not None:
         if isinstance(input_model_files, list):
-            uvd_model = VisData.from_uvh5(input_model_files[0])
+            uvd_model = VisData.from_uvh5(
+                input_model_files[0], data_dtype=host_data_dtype
+            )
             for extra in input_model_files[1:]:
-                uvd_model = uvd_model + VisData.from_uvh5(extra)
+                uvd_model = uvd_model + VisData.from_uvh5(
+                    extra, data_dtype=host_data_dtype
+                )
         else:
             uvd_model = input_model_files
         utils.select_baselines(
@@ -1996,6 +2022,12 @@ def input_output_parser():
                     help="Path to a UVFlag HDF5 weights object (baseline "
                          "type, flag mode) to use as fitting weights; "
                          "mutually exclusive with --use_autocorrs_in_weights.")
+    sp.add_argument("--host_data_dtype", default=None, type=str,
+                    choices=["complex64", "complex128"],
+                    help="Host storage dtype for visibility arrays (default "
+                         "keeps the file dtype). complex64 halves every "
+                         "host-side data copy; a precision-32 fit computes "
+                         "in float32 either way.")
     return ap
 
 

@@ -140,8 +140,14 @@ class VisData:
     # uvh5 I/O
     # ------------------------------------------------------------------ #
     @classmethod
-    def from_uvh5(cls, path):
-        """Read a uvh5 file (spec v0.1 or v1.x layouts)."""
+    def from_uvh5(cls, path, data_dtype=None):
+        """Read a uvh5 file (spec v0.1 or v1.x layouts).
+
+        ``data_dtype`` casts the visibility array while reading (h5py
+        converts per HDF5 chunk, so the file-dtype cube is never fully
+        materialized). At full-HERA many-times scale a complex128 cube is
+        ~10 GiB of host RSS the float32 fit never needs — complex64 halves
+        it and the read transient."""
         obj = cls()
         with h5py.File(path, "r") as f:
             hdr = f["Header"]
@@ -163,7 +169,12 @@ class VisData:
             if "flex_spw" in hdr:
                 obj.flex_spw = bool(hdr["flex_spw"][()])
             data = f["Data"]
-            obj.data_array = np.asarray(data["visdata"][()])
+            if data_dtype is not None:
+                dset = data["visdata"]
+                obj.data_array = np.empty(dset.shape, dtype=np.dtype(data_dtype))
+                dset.read_direct(obj.data_array)
+            else:
+                obj.data_array = np.asarray(data["visdata"][()])
             obj.flag_array = np.asarray(data["flags"][()])
             obj.nsample_array = np.asarray(data["nsamples"][()])
         # normalize to the 4D (Nblts, 1, Nfreqs, Npols) layout

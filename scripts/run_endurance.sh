@@ -21,8 +21,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-PREP=${1:-/root/prep_cache_nt8}
-CKPT=${2:-/root/ck_endurance}
+PREP=${1:-/tmp/prep_cache_nt8}
+CKPT=${2:-/tmp/ck_endurance}
 
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}

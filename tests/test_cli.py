@@ -87,6 +87,45 @@ def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata,
         assert os.path.exists(fn)
 
 
+def test_host_data_dtype_cli(tmp_path, input_file, monkeypatch):
+    """--host_data_dtype complex64 halves host storage without changing
+    the fit: outputs match the default (file-dtype) run closely."""
+    tmp = str(tmp_path)
+    out64 = os.path.join(tmp, "model64.uvh5")
+    out32 = os.path.join(tmp, "model32.uvh5")
+    common = dict(
+        input_data_files=input_file,
+        maxsteps=60,
+        tol=1e-10,
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+    )
+    m128, r128, g128, _ = calibration.read_calibrate_and_model_dpss(
+        model_outfilename=out64, **common
+    )
+    m64, r64, g64, _ = calibration.read_calibrate_and_model_dpss(
+        model_outfilename=out32, host_data_dtype="complex64", **common
+    )
+    assert m64.data_array.dtype == np.complex64
+    assert m128.data_array.dtype == np.complex128
+    scale = np.max(np.abs(m128.data_array))
+    assert np.allclose(m64.data_array, m128.data_array, atol=1e-4 * scale)
+    assert np.allclose(g64.gain_array, g128.gain_array, atol=1e-4)
+    # file outputs stay spec-complex128 regardless of host dtype
+    assert VisData.from_uvh5(out32).data_array.dtype == np.complex128
+
+    with pytest.raises(ValueError, match="host_data_dtype"):
+        calibration.read_calibrate_and_model_dpss(
+            input_data_files=input_file, host_data_dtype="float32"
+        )
+
+    # argparse surface round-trips the flag
+    monkeypatch.setattr(sys, "argv", [sys.argv[0], "--input_data_files", input_file,
+                                      "--host_data_dtype", "complex64"])
+    args = calibration.dpss_fit_argparser().parse_args()
+    assert args.host_data_dtype == "complex64"
+
+
 def test_weights_file_cli(tmp_path, input_file, redundant_visdata, monkeypatch):
     """--weights_file loads a UVFlag HDF5 weights object into the fit and
     matches passing the same object in memory."""
