@@ -23,7 +23,7 @@ from .io.caldata import CalData
 from .io.flags import FlagWeights
 from .io.polarizations import polstr2num
 from .io.visdata import VisData
-from .ops.loss import fg_model_all_chunks
+from .ops.loss import fg_model_all_chunks, fg_model_all_chunks_host
 from .solver.fit import fit_gains_and_foregrounds
 from .solver.optimizers import OPTIMIZERS  # noqa: F401  (reference-named registry)
 from .solver.tensorize import FitSpec
@@ -467,6 +467,7 @@ def calibrate_and_model_tensor(
 
     fit_history = {}
     g_r = g_i = fg_r = fg_i = None
+    host_comps = None  # basis tensors fetched once for host-side write-back
     for polnum, pol in enumerate(uvdata.get_pols()):
         echo(
             f"{datetime.datetime.now()} Working on pol {pol}, {polnum + 1} of {uvdata.Npols}...\n",
@@ -575,8 +576,20 @@ def calibrate_and_model_tensor(
                 patience=patience,
                 **opt_kwargs,
             )
+            # write-back runs on the HOST (fg_model_all_chunks_host): the
+            # coefficients are tiny and the basis tensors were fetched once,
+            # vs moving a (ngrps, nbls, nfreqs) model cube off the device
+            # per slice over a slow relay link
+            if host_comps is None:
+                host_comps = [np.asarray(c) for (c, _, _) in chunks]
             spec.insert_model(
-                model, fg_model_all_chunks(fg_r, fg_i, chunks), pol, time, rmsdata
+                model,
+                fg_model_all_chunks_host(
+                    [np.asarray(x) for x in fg_r],
+                    [np.asarray(x) for x in fg_i],
+                    host_comps,
+                ),
+                pol, time, rmsdata,
             )
             spec.insert_gains(gains, g_r, g_i, pol, time)
             if (
@@ -660,6 +673,7 @@ def _calibrate_time_scan(
 
     nchunks = len(chunks)
     fit_history = {polnum: {} for polnum in range(uvdata.Npols)}
+    host_comps = None  # basis tensors fetched once for host-side write-back
     if comps_precision == "mixed":
         raise ValueError(
             "comps_precision='mixed' is not supported with the warm-started "
@@ -943,14 +957,20 @@ def _calibrate_time_scan(
             np.asarray(x)[:, : chunks[cnum][1].shape[0]]
             for cnum, x in enumerate(all_params[3])
         ]
+        if host_comps is None:
+            # fetch the basis tensors once: host-side write-back (see
+            # fg_model_all_chunks_host) avoids a per-slice model-cube D2H
+            host_comps = [np.asarray(c) for (c, _, _) in chunks]
         for slot, (time_index, time, rms) in enumerate(usable):
             fit_history[polnum][time_index] = {
                 "loss": history[slot, : int(nsteps[slot])].tolist()
             }
-            fg_r_s = tuple(jnp.asarray(fg_r_all[cnum][slot]) for cnum in range(nchunks))
-            fg_i_s = tuple(jnp.asarray(fg_i_all[cnum][slot]) for cnum in range(nchunks))
+            fg_r_s = [fg_r_all[cnum][slot] for cnum in range(nchunks)]
+            fg_i_s = [fg_i_all[cnum][slot] for cnum in range(nchunks)]
             spec.insert_model(
-                model, fg_model_all_chunks(fg_r_s, fg_i_s, chunks), pol, time, rms
+                model,
+                fg_model_all_chunks_host(fg_r_s, fg_i_s, host_comps),
+                pol, time, rms,
             )
             spec.insert_gains(gains, g_r_all[slot], g_i_all[slot], pol, time)
             bltsel = np.isclose(uvdata.time_array, time, rtol=0.0, atol=1e-7)
@@ -1626,19 +1646,22 @@ def _calibrate_time_parallel(
         verbose=verbose,
     )
 
+    # host-side write-back: the basis tensors transfer ONCE and each slice's
+    # model is a host einsum from its (tiny) coefficients, instead of a
+    # device fg_model + a ~cube-sized D2H per slice (minutes per run through
+    # relay-attached backends; see fg_model_all_chunks_host)
+    host_comps = [np.asarray(c) for (c, _, _) in chunks]
     for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
         # per-slice history ends at that slice's convergence step
         fit_history[polnum][time_index] = {"loss": slice_losses[b]}
-        fg_r_s = tuple(
-            jnp.asarray(fg_r_out[cnum][b, : chunks[cnum][1].shape[0]])
-            for cnum in range(nchunks)
-        )
-        fg_i_s = tuple(
-            jnp.asarray(fg_i_out[cnum][b, : chunks[cnum][1].shape[0]])
-            for cnum in range(nchunks)
-        )
+        fg_r_s = [
+            fg_r_out[cnum][b, : chunks[cnum][1].shape[0]] for cnum in range(nchunks)
+        ]
+        fg_i_s = [
+            fg_i_out[cnum][b, : chunks[cnum][1].shape[0]] for cnum in range(nchunks)
+        ]
         spec.insert_model(
-            model, fg_model_all_chunks(fg_r_s, fg_i_s, chunks), pol, time, rms
+            model, fg_model_all_chunks_host(fg_r_s, fg_i_s, host_comps), pol, time, rms
         )
         spec.insert_gains(gains, g_r_out[b], g_i_out[b], pol, time)
         bltsel = np.isclose(uvdata.time_array, time, rtol=0.0, atol=1e-7)

@@ -126,6 +126,52 @@ def fg_model_batched(coeffs_r, coeffs_i, comps, precision=jax.lax.Precision.HIGH
     return v[:, 0], v[:, 1]
 
 
+def fg_model_host(coeffs_r, coeffs_i, comps):
+    """numpy mirror of :func:`fg_model` for write-back.
+
+    Reconstructing the fitted foreground model is an OUTPUT step, not a
+    descent step: computing it on the device and fetching the result moves
+    (ngrps, nbls, nfreqs) cubes over the host link per (time, pol) slice —
+    ~0.7 GB each at full-HERA scale, and device->host transfers through
+    relay-attached TPU backends are slow. The coefficients are tiny and the
+    basis tensors transfer ONCE (cached by the caller), so a host einsum is
+    minutes faster per run. Same three packings as fg_model (dense /
+    shared / shared-batched); float32 BLAS contractions."""
+    import numpy as np
+
+    comps = np.asarray(comps)
+    cr = np.asarray(coeffs_r, dtype=comps.dtype)
+    ci = np.asarray(coeffs_i, dtype=comps.dtype)
+    ngrps = cr.shape[0]
+    nu = comps.shape[0]
+    if nu == 1 and ngrps > 1:
+        vr = np.einsum("bfv,gv->gbf", comps[0], cr, optimize=True)
+        vi = np.einsum("bfv,gv->gbf", comps[0], ci, optimize=True)
+    elif 1 < nu < ngrps:
+        gmax = ngrps // nu
+        crr = cr.reshape(nu, gmax, cr.shape[-1])
+        cii = ci.reshape(nu, gmax, ci.shape[-1])
+        nb, nf = comps.shape[1], comps.shape[2]
+        vr = np.einsum("ubfv,ugv->ugbf", comps, crr, optimize=True)
+        vi = np.einsum("ubfv,ugv->ugbf", comps, cii, optimize=True)
+        vr = vr.reshape(ngrps, nb, nf)
+        vi = vi.reshape(ngrps, nb, nf)
+    else:
+        vr = np.einsum("gbfv,gv->gbf", comps, cr, optimize=True)
+        vi = np.einsum("gbfv,gv->gbf", comps, ci, optimize=True)
+    return vr, vi
+
+
+def fg_model_all_chunks_host(fg_r, fg_i, host_comps):
+    """Per-chunk host foreground models (write-back counterpart of
+    fg_model_all_chunks; ``host_comps`` is a list of numpy basis tensors —
+    fetch each chunk's comps once and reuse across slices)."""
+    return [
+        fg_model_host(fg_r[cnum], fg_i[cnum], comps)
+        for cnum, comps in enumerate(host_comps)
+    ]
+
+
 def gain_products(g_r, g_i, a0, a1):
     """Real-arithmetic expansion of g_i conj(g_j) per baseline.
 

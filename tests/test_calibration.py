@@ -254,6 +254,25 @@ def test_insert_model_complex64_target(sky_model_projected, dpss_vectors, gains)
     assert np.allclose(model32.data_array, model64.data_array, rtol=1e-5)
 
 
+def test_fg_model_host_matches_device():
+    """Host write-back einsums reproduce the device fg_model on all three
+    packings (dense nu==ngrps, shared nu==1, shared-batched 1<nu<ngrps)."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.ops.loss import fg_model, fg_model_host
+
+    rng = np.random.default_rng(3)
+    for nu, ngrps, nbls in [(6, 6, 3), (1, 8, 2), (4, 8, 1)]:
+        comps = rng.standard_normal((nu, nbls, 16, 5)).astype(np.float32)
+        cr = rng.standard_normal((ngrps, 5)).astype(np.float32)
+        ci = rng.standard_normal((ngrps, 5)).astype(np.float32)
+        vr_d, vi_d = fg_model(jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(comps))
+        vr_h, vi_h = fg_model_host(cr, ci, comps)
+        assert vr_h.shape == tuple(vr_d.shape)
+        np.testing.assert_allclose(vr_h, np.asarray(vr_d), rtol=3e-6, atol=3e-6)
+        np.testing.assert_allclose(vi_h, np.asarray(vi_d), rtol=3e-6, atol=3e-6)
+
+
 def test_flag_poltime(sky_model_projected_multitime, gains_multitime):
     uvd = sky_model_projected_multitime.copy()
     t0 = np.unique(uvd.time_array)[0]
