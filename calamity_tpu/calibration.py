@@ -257,6 +257,7 @@ def calibrate_and_model_tensor(
     use_pallas=False,
     remat=False,
     comps_precision=None,
+    wgts_precision="float32",
     patience=0,
     nvec_bucketing=False,
     shared_basis=True,
@@ -305,6 +306,15 @@ def calibrate_and_model_tensor(
     if comps_precision is None:
         comps_precision = resolve_comps_precision(
             dtype, init_guesses_from_previous_time_step
+        )
+    if wgts_precision not in ("float32", "bfloat16"):
+        raise ValueError(
+            f"wgts_precision must be 'float32' or 'bfloat16', got {wgts_precision!r}"
+        )
+    if wgts_precision == "bfloat16" and use_pallas:
+        raise ValueError(
+            "wgts_precision='bfloat16' is incompatible with use_pallas "
+            "(the fused kernel reads float32 weight tiles)"
         )
 
     antpairs_data = uvdata.get_antpairs()
@@ -419,6 +429,7 @@ def calibrate_and_model_tensor(
                 use_pallas=use_pallas,
                 remat=remat,
                 comps_precision=comps_precision,
+                wgts_precision=wgts_precision,
                 patience=patience,
                 verbose=verbose,
                 opt_kwargs=opt_kwargs,
@@ -453,6 +464,7 @@ def calibrate_and_model_tensor(
             use_pallas=use_pallas,
             remat=remat,
             comps_precision=comps_precision,
+            wgts_precision=wgts_precision,
             patience=patience,
             verbose=verbose,
             opt_kwargs=opt_kwargs,
@@ -542,6 +554,13 @@ def calibrate_and_model_tensor(
                     ]
                     wsum = sum(float(jnp.sum(w)) for w in wgts)
                     wgts = [w / wsum for w in wgts]
+
+            if wgts_precision == "bfloat16":
+                # halve the weights' HBM footprint and read traffic; the
+                # loss upcasts at the point of use (fused into the multiply)
+                import jax.numpy as jnp
+
+                wgts = [jnp.asarray(w).astype(jnp.bfloat16) for w in wgts]
 
             (g_r, g_i, fg_r, fg_i, fit_history_p[time_index]) = fit_gains_and_foregrounds(
                 g_r=g_r,
@@ -646,6 +665,7 @@ def _calibrate_time_scan(
     n_profile_steps=0,
     profile_log_dir="./logdir",
     mesh=None,
+    wgts_precision="float32",
 ):
     """Warm-started sequential fits over times, compiled as one lax.scan
     per polarization (the compiled counterpart of the reference's
@@ -818,6 +838,12 @@ def _calibrate_time_scan(
             # the scan slices the leading time axis, the loss broadcasts
             # the trailing-1 frequency axis
             wgts_s = tuple(_compress_freq_invariant_wgts(w) for w in wgts_s)
+        if wgts_precision == "bfloat16":
+            # frequency-dependent weight cubes store bf16 (the loss upcasts
+            # at the point of use); compressed trailing-1 planes stay f32
+            wgts_s = tuple(
+                w.astype(jnp.bfloat16) if w.shape[-1] > 1 else w for w in wgts_s
+            )
         if mesh is None:
             data_r_s = tuple(jnp.asarray(x) for x in data_r_s)
             data_i_s = tuple(jnp.asarray(x) for x in data_i_s)
@@ -1110,6 +1136,7 @@ def _calibrate_time_parallel(
     n_profile_steps=0,
     profile_log_dir="./logdir",
     loss_block_ngrps=None,
+    wgts_precision="float32",
 ):
     """Batched (time x pol) fitting: every unskipped slice in one descent.
 
@@ -1233,6 +1260,13 @@ def _calibrate_time_parallel(
             w[nbatch_real:] = 0.0
         if not use_pallas:
             w = _compress_freq_invariant_wgts(w)
+        if wgts_precision == "bfloat16" and w.shape[-1] > 1:
+            # frequency-dependent weight cube (RFI flags, autocorr or SNR
+            # weights): bf16 storage halves its HBM + upload footprint —
+            # the lever that lets flagged full-array many-times configs fit
+            # the single-chip budget (freq-invariant weights already
+            # compress to a trailing-1 plane above and stay f32)
+            w = w.astype(jnp.bfloat16)
         wgts_b.append(w)
         if have_sky:
             sky_r_h.append(_pad_axis_np(stack(per_slice["sky_r"][cnum]), 1, ngrps_pad))
@@ -1380,6 +1414,11 @@ def _calibrate_time_parallel(
                 src_r = data_r_b[cnum][:, g0 : g0 + blk]
                 src_i = data_i_b[cnum][:, g0 : g0 + blk]
             w_dev = wgts_b[cnum][:, g0 : g0 + blk]
+            if w_dev.dtype != spec.dtype:
+                # bf16-stored weights: the prior/wsum accumulations and the
+                # SNR products below need full-precision sums; upcast the
+                # (transient) block
+                w_dev = w_dev.astype(spec.dtype)
             if nu == 1:
                 comps_blk, chol_blk, active_blk = comps_dev, chol, active
             elif nu < ngrps:
@@ -1419,7 +1458,16 @@ def _calibrate_time_parallel(
         # re-pin the reweighted cubes: the eager concatenate/divide outputs
         # carry whatever sharding dispatch propagated, not the committed
         # P('data','bl') layout the descent program was planned around
-        wgts_b = [put_sky(w / denom[:, None, None, None]) for w in wgts_b]
+        wgts_b = [
+            put_sky(
+                (w / denom[:, None, None, None]).astype(
+                    jnp.bfloat16
+                    if wgts_precision == "bfloat16" and w.shape[-1] > 1
+                    else spec.dtype
+                )
+            )
+            for w in wgts_b
+        ]
         prior_r_b = prior_r_b / denom
         prior_i_b = prior_i_b / denom
     if have_sky:
@@ -2120,6 +2168,15 @@ def fitting_argparser():
                          "(full floor, most of the speed). Default: mixed "
                          "for 32-bit fits, float32 under --precision 64 "
                          "and on the warm-started time scan.")
+    tp.add_argument("--wgts_precision", default="float32", type=str,
+                    choices=["float32", "bfloat16"],
+                    help="Weight-cube storage precision: bfloat16 halves the "
+                         "weights' HBM footprint (the lever that fits "
+                         "frequency-dependent weights — RFI flags, autocorr "
+                         "or SNR weights — into full-array many-times "
+                         "single-chip budgets). Loss evaluation upcasts at "
+                         "the point of use; warm-start and prior "
+                         "accumulations stay full-precision.")
     tp.add_argument("--checkpoint_dir", default=None, type=str,
                     help="Directory for mid-fit checkpoints (enables resume).")
     tp.add_argument("--checkpoint_every", default=1000, type=int,

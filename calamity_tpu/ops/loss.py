@@ -198,7 +198,13 @@ def data_model(g_r, g_i, coeffs_r, coeffs_i, comps, a0, a1):
 
 
 def mse(model_r, model_i, data_r, data_i, wgts):
-    """Flag-weighted squared error (reference mse, calibration.py:1608-1609)."""
+    """Flag-weighted squared error (reference mse, calibration.py:1608-1609).
+
+    bfloat16 weights (wgts_precision="bfloat16"): the upcast below fuses
+    into the multiply's operand read, so the weights cube streams from HBM
+    at half width; accumulation stays in the model dtype."""
+    if wgts.dtype != model_r.dtype:
+        wgts = wgts.astype(model_r.dtype)
     return jnp.sum((jnp.square(data_r - model_r) + jnp.square(data_i - model_i)) * wgts)
 
 
@@ -262,9 +268,12 @@ def chunked_loss_sum_regularized(
     mi_sum = jnp.zeros((), dtype=g_r.dtype)
     for cnum, (comps, a0, a1) in enumerate(chunks):
         model_r, model_i = data_model(g_r, g_i, fg_r[cnum], fg_i[cnum], comps, a0, a1)
-        mr_sum = mr_sum + jnp.sum(model_r * wgts[cnum])
-        mi_sum = mi_sum + jnp.sum(model_i * wgts[cnum])
-        total = total + mse(model_r, model_i, data_r[cnum], data_i[cnum], wgts[cnum])
+        w = wgts[cnum]
+        if w.dtype != model_r.dtype:
+            w = w.astype(model_r.dtype)
+        mr_sum = mr_sum + jnp.sum(model_r * w)
+        mi_sum = mi_sum + jnp.sum(model_i * w)
+        total = total + mse(model_r, model_i, data_r[cnum], data_i[cnum], w)
     return total + jnp.square(mr_sum - prior_r_sum) + jnp.square(mi_sum - prior_i_sum)
 
 

@@ -166,6 +166,9 @@ def batched_chunk_losses(g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
         vr, vi = fg_model_batched(fr, fi, comps)
         mr = pr * vr + pi * vi
         mi = -pi * vr + pr * vi
+        if w.dtype != dr.dtype:
+            # bf16 weights stream at half width; upcast fuses into the read
+            w = w.astype(dr.dtype)
         return jnp.sum(
             w * (jnp.square(dr - mr) + jnp.square(di - mi)), axis=(1, 2, 3)
         )
@@ -233,6 +236,8 @@ def batched_chunk_losses_sum_regularized(
         vr, vi = fg_model_batched(fr, fi, comps)
         model_r = pr * vr + pi * vi
         model_i = -pi * vr + pr * vi
+        if w.dtype != dr.dtype:
+            w = w.astype(dr.dtype)
         mrs = jnp.sum(model_r * w, axis=(1, 2, 3))
         mis = jnp.sum(model_i * w, axis=(1, 2, 3))
         loss = jnp.sum(

@@ -375,8 +375,14 @@ def fit_gains_and_foregrounds(
         bounded by ``maxsteps``.
     """
     if model_regularization == "sum":
-        prior_r_sum = sum(jnp.sum(smr * w) for smr, w in zip(sky_model_r, wgts))
-        prior_i_sum = sum(jnp.sum(smi * w) for smi, w in zip(sky_model_i, wgts))
+        # upcast bf16-stored weights: the prior is an accumulated scalar,
+        # and the product below would otherwise sum at reduced precision
+        wgts_f = [
+            w.astype(sky_model_r[0].dtype) if w.dtype != sky_model_r[0].dtype else w
+            for w in wgts
+        ]
+        prior_r_sum = sum(jnp.sum(smr * w) for smr, w in zip(sky_model_r, wgts_f))
+        prior_i_sum = sum(jnp.sum(smi * w) for smi, w in zip(sky_model_i, wgts_f))
         regularization = "sum"
     else:
         prior_r_sum = jnp.zeros((), dtype=g_r.dtype)

@@ -70,6 +70,16 @@ def main():
     ap.add_argument("--loss_block_ngrps", type=int, default=None,
                     help="group-block size for the scanned batched loss "
                          "(bounds activation HBM at many times)")
+    ap.add_argument("--wgts_precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="weight-cube storage precision; bfloat16 halves "
+                         "the weights' HBM footprint (matters with "
+                         "--rfi_flag_frac: frequency-dependent weights "
+                         "defeat the freq-invariant compression)")
+    ap.add_argument("--rfi_flag_frac", type=float, default=0.0,
+                    help="flag this fraction of channels in RFI-like bands "
+                         "(per time; makes the weights frequency-dependent "
+                         "like the reference's MWA RFI fixture)")
     ap.add_argument("--data_dtype", default="complex64",
                     choices=["complex64", "complex128"],
                     help="host storage dtype for the visibility cubes. The "
@@ -245,6 +255,21 @@ def main():
 
 def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
             jax, calibration, stage):
+    if args.rfi_flag_frac > 0:
+        # RFI-like contiguous channel bands, identical across times (the
+        # persistent-transmitter pattern of the reference's MWA fixture);
+        # frequency-dependent flags defeat the freq-invariant weight
+        # compression, exercising the full weights cube (+ bf16 storage)
+        frng = np.random.default_rng(99)
+        nf = corrupted.Nfreqs
+        target = int(args.rfi_flag_frac * nf)
+        flagged = np.zeros(nf, dtype=bool)
+        while flagged.sum() < target:
+            c = int(frng.integers(0, nf))
+            w = int(frng.integers(2, 24))
+            flagged[max(0, c - w // 2): c + w // 2 + 1] = True
+        corrupted.flag_array[:, :, flagged, :] = True
+        stage(f"RFI flags: {int(flagged.sum())}/{nf} channels in bands")
     mesh = None
     if args.mesh is not None:
         from calamity_tpu.parallel.mesh import make_mesh
@@ -266,6 +291,7 @@ def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
         fg_model_comps_dict=comps,
         maxsteps=args.maxsteps,
         comps_precision=args.comps_precision,
+        wgts_precision=args.wgts_precision,
         tol=args.tol,
         learning_rate=1e-2,
         correct_resid=True,

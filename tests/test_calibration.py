@@ -605,6 +605,49 @@ def test_comps_precision_scan_mixed_raises(
         )
 
 
+def test_wgts_precision_bfloat16(sky_model_projected, gains):
+    """bf16 weight storage reaches the same convergence floor: flagged
+    samples stay exactly zero-weighted in bf16, and projected data's
+    optimum (resid = 0) is weight-quantization invariant."""
+    uvd = sky_model_projected.copy()
+    # frequency-dependent flags so the weights cube is full-width
+    uvd.flag_array[2, :, ::7] = True
+    uvd.flag_array[5, :, 3:9] = True
+    common = dict(
+        gains=gains.copy(), maxsteps=400, tol=1e-12, learning_rate=1e-2,
+        model_regularization=None, correct_resid=False, correct_model=False,
+        time_parallel=True, comps_precision="float32",
+    )
+    m32, r32, g32, i32 = calibration.calibrate_and_model_dpss(
+        uvdata=uvd, wgts_precision="float32", **common
+    )
+    m16, r16, g16, i16 = calibration.calibrate_and_model_dpss(
+        uvdata=uvd, wgts_precision="bfloat16", **common
+    )
+    f32 = i32[0][0]["loss"][-1]
+    f16 = i16[0][0]["loss"][-1]
+    assert f16 < 5e-7  # converged
+    assert np.isclose(np.log10(f16 + 1e-30), np.log10(f32 + 1e-30), atol=1.0)
+    assert np.allclose(g16.gain_array, g32.gain_array, atol=2e-3)
+
+    # serial path: same storage lever, same floor
+    ser = dict(common, time_parallel=False, gains=gains.copy())
+    _, _, g_s, i_s = calibration.calibrate_and_model_dpss(
+        uvdata=uvd, wgts_precision="bfloat16", **ser
+    )
+    assert i_s[0][0]["loss"][-1] < 5e-7
+    assert np.allclose(g_s.gain_array, g32.gain_array, atol=2e-3)
+
+    with pytest.raises(ValueError, match="wgts_precision"):
+        calibration.calibrate_and_model_dpss(
+            uvdata=uvd, wgts_precision="float16", **common
+        )
+    with pytest.raises(ValueError, match="use_pallas"):
+        calibration.calibrate_and_model_dpss(
+            uvdata=uvd, wgts_precision="bfloat16", use_pallas=True, **common
+        )
+
+
 def test_comps_precision_invalid_raises(sky_model_projected, gains):
     with pytest.raises(ValueError, match="comps_precision"):
         calibration.calibrate_and_model_dpss(
