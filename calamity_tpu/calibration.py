@@ -23,7 +23,8 @@ from .io.caldata import CalData
 from .io.flags import FlagWeights
 from .io.polarizations import polstr2num
 from .io.visdata import VisData
-from .ops.loss import fg_model_all_chunks, fg_model_all_chunks_host
+from .ops.loss import (fg_model_all_chunks, fg_model_all_chunks_host,
+                       host_chunk_comps)
 from .solver.fit import fit_gains_and_foregrounds
 from .solver.optimizers import OPTIMIZERS  # noqa: F401  (reference-named registry)
 from .solver.tensorize import FitSpec
@@ -600,7 +601,7 @@ def calibrate_and_model_tensor(
             # vs moving a (ngrps, nbls, nfreqs) model cube off the device
             # per slice over a slow relay link
             if host_comps is None:
-                host_comps = [np.asarray(c) for (c, _, _) in chunks]
+                host_comps = host_chunk_comps(chunks)
             spec.insert_model(
                 model,
                 fg_model_all_chunks_host(
@@ -986,7 +987,7 @@ def _calibrate_time_scan(
         if host_comps is None:
             # fetch the basis tensors once: host-side write-back (see
             # fg_model_all_chunks_host) avoids a per-slice model-cube D2H
-            host_comps = [np.asarray(c) for (c, _, _) in chunks]
+            host_comps = host_chunk_comps(chunks)
         for slot, (time_index, time, rms) in enumerate(usable):
             fit_history[polnum][time_index] = {
                 "loss": history[slot, : int(nsteps[slot])].tolist()
@@ -1698,7 +1699,7 @@ def _calibrate_time_parallel(
     # model is a host einsum from its (tiny) coefficients, instead of a
     # device fg_model + a ~cube-sized D2H per slice (minutes per run through
     # relay-attached backends; see fg_model_all_chunks_host)
-    host_comps = [np.asarray(c) for (c, _, _) in chunks]
+    host_comps = host_chunk_comps(chunks)
     for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
         # per-slice history ends at that slice's convergence step
         fit_history[polnum][time_index] = {"loss": slice_losses[b]}
@@ -1920,13 +1921,37 @@ def read_calibrate_and_model_dpss(
     # fail fast on taken output paths before any compute happens
     import os
 
-    if host_data_dtype is not None and np.dtype(host_data_dtype) not in (
-        np.dtype(np.complex64),
-        np.dtype(np.complex128),
-    ):
-        raise ValueError(
-            f"host_data_dtype must be complex64 or complex128, got {host_data_dtype!r}"
-        )
+    if host_data_dtype is not None:
+        try:
+            _hdt = np.dtype(host_data_dtype)
+        except TypeError as exc:
+            raise ValueError(
+                "host_data_dtype must be complex64 or complex128, "
+                f"got {host_data_dtype!r}"
+            ) from exc
+        if _hdt not in (np.dtype(np.complex64), np.dtype(np.complex128)):
+            raise ValueError(
+                "host_data_dtype must be complex64 or complex128, "
+                f"got {host_data_dtype!r}"
+            )
+
+    def _cast_host_dtype(obj):
+        """Cast an in-memory VisData's data cube to host_data_dtype without
+        deep-copying the full-precision cube first (the transient is
+        original + cast, not original + copy + cast — the difference is
+        tens of GiB at full-HERA many-times scale)."""
+        if host_data_dtype is None or obj.data_array.dtype == _hdt:
+            return obj
+        import copy as _copy
+
+        out = _copy.copy(obj)
+        out.data_array = obj.data_array.astype(_hdt)
+        # own every mutable Data-group array (flags/nsamples are small
+        # next to the cube); metadata arrays are only ever rebound, never
+        # written in place, by the drivers
+        out.flag_array = obj.flag_array.copy()
+        out.nsample_array = obj.nsample_array.copy()
+        return out
     if not clobber:
         for out in (resid_outfilename, gain_outfilename, model_outfilename,
                     fitted_info_outfilename):
@@ -1940,13 +1965,7 @@ def read_calibrate_and_model_dpss(
         for extra in input_data_files[1:]:
             uvd = uvd + VisData.from_uvh5(extra, data_dtype=host_data_dtype)
     else:
-        uvd = input_data_files
-        if (
-            host_data_dtype is not None
-            and uvd.data_array.dtype != np.dtype(host_data_dtype)
-        ):
-            uvd = uvd.copy()
-            uvd.data_array = uvd.data_array.astype(np.dtype(host_data_dtype))
+        uvd = _cast_host_dtype(input_data_files)
 
     if use_autocorrs_in_weights and weights_file is not None:
         raise ValueError(
@@ -1981,7 +2000,7 @@ def read_calibrate_and_model_dpss(
                     extra, data_dtype=host_data_dtype
                 )
         else:
-            uvd_model = input_model_files
+            uvd_model = _cast_host_dtype(input_model_files)
         utils.select_baselines(
             uvd_model, bllen_min=bllen_min, bllen_max=bllen_max, bl_ew_min=bl_ew_min
         )

@@ -172,6 +172,14 @@ def fg_model_all_chunks_host(fg_r, fg_i, host_comps):
     ]
 
 
+def host_chunk_comps(chunks):
+    """Fetch each chunk's (float32) basis tensor to the host, once per fit —
+    the input contract of fg_model_all_chunks_host."""
+    import numpy as np
+
+    return [np.asarray(c) for (c, _, _) in chunks]
+
+
 def gain_products(g_r, g_i, a0, a1):
     """Real-arithmetic expansion of g_i conj(g_j) per baseline.
 
