@@ -883,7 +883,8 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         # the checkpoint tree structure depends on use_min ONLY — never on
         # cfg.patience: since_best and the patience-only best_loss are
         # reconstructed from the stored history below, so checkpoints stay
-        # loadable across patience-setting changes and code upgrades
+        # loadable across patience-setting changes and code upgrades; a
+        # use_min flip across a resume is adapted below rather than refused
         like_tree = {
             "params": params,
             "opt_state": opt_state,
@@ -893,7 +894,25 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             "nsteps_slice": nsteps_slice,
             "best_loss": best_loss if cfg.use_min else (),
         }
-        tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
+        stored_use_min = cfg.use_min
+        try:
+            tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
+        except ValueError:
+            # the saving run's use_min differed (drivers may couple use_min
+            # to patience — e.g. hera_full_demo — so a --patience change
+            # across a resume flips it); retry with the flipped structure
+            # and adapt below rather than refusing the resume
+            stored_use_min = not cfg.use_min
+            like_tree = dict(
+                like_tree,
+                best_params=params if stored_use_min else (),
+                best_loss=(
+                    jnp.full((nbatch,), big, dtype=dtype)
+                    if stored_use_min
+                    else ()
+                ),
+            )
+            tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
 
         def replace_on(like_leaf, leaf):
             # restore each leaf onto the entry array's sharding (mesh runs).
@@ -915,7 +934,13 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
                     leaf.delete()
         params = tree["params"]
         opt_state = tree["opt_state"]
-        best_params = tree["best_params"]
+        if cfg.use_min == stored_use_min:
+            best_params = tree["best_params"]
+        elif cfg.use_min:
+            # saved without argmin tracking: restart it at the resume point
+            # (a DISTINCT copy — params and best_params are both donated)
+            best_params = jax.tree_util.tree_map(jnp.copy, params)
+        # else: saved WITH argmin tracking, now off — drop the stored copy
         prev = tree["prev"]
         frozen = tree["frozen"]
         # the not-yet-frozen sentinel is the SAVING run's maxsteps; a resume
@@ -924,8 +949,10 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         nsteps_slice = jnp.where(
             frozen, tree["nsteps_slice"], jnp.int32(cfg.maxsteps)
         )
-        if cfg.use_min:
+        if cfg.use_min and stored_use_min:
             best_loss = tree["best_loss"]
+        # use_min now on but the save lacked argmin state: best_loss stays
+        # at `big` (set above) so tracking restarts at the resume point
         history_all = np.asarray(scal["history"], dtype=np.float32).reshape(-1, nbatch)
         step_total = int(scal["step"])
         if cfg.patience > 0 and history_all.shape[0]:

@@ -200,8 +200,8 @@ class FitSpec:
             ant_index[ant] = idx
 
         def map_ants(arr):
-            out = ant_index[np.minimum(arr, max_ant)]
-            invalid = (arr > max_ant) | (out < 0)
+            out = ant_index[np.clip(arr, 0, max_ant)]
+            invalid = (arr < 0) | (arr > max_ant) | (out < 0)
             if np.any(invalid):
                 raise KeyError(
                     f"antenna {int(arr[invalid].ravel()[0])} not in ants_map"

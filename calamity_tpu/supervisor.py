@@ -176,10 +176,17 @@ def run_supervised(
     production callers use the defaults."""
 
     def default_run(argv):
+        import os
         import threading
 
+        # unbuffered child stdout: liveness is measured by bytes arriving
+        # on this pipe, and a block-buffered child (Python's default when
+        # piped) can hold sparse progress echoes in its 8 KiB stdio buffer
+        # far past hang_timeout_s — a healthy run would be killed as wedged
+        env = dict(os.environ, PYTHONUNBUFFERED="1")
         proc = subprocess.Popen(
-            list(argv), stdout=subprocess.PIPE, stderr=subprocess.STDOUT
+            list(argv), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env,
         )
         state = {"tail": b"", "last": time.monotonic()}
         lock = threading.Lock()

@@ -147,16 +147,18 @@ def main():
                 return
             stage(f"loading prepared inputs from {args.prep_cache}")
             t0 = time.time()
+            # cast DURING the read (per-HDF5-chunk conversion): loading the
+            # cache's file dtype and casting after would materialize the
+            # full-precision cube plus the cast copy simultaneously — the
+            # exact host transient the data_dtype lever exists to avoid
             corrupted = VisData.from_uvh5(
-                os.path.join(args.prep_cache, "corrupted.uvh5")
+                os.path.join(args.prep_cache, "corrupted.uvh5"),
+                data_dtype=np.dtype(args.data_dtype),
             )
             if args.ntimes < cached_nt:
                 keep = np.unique(corrupted.time_array)[: args.ntimes]
                 corrupted.select(times=keep, inplace=True)
                 stage(f"  selected {args.ntimes} of {cached_nt} cached times")
-            want_dt = np.dtype(args.data_dtype)
-            if corrupted.data_array.dtype != want_dt:
-                corrupted.data_array = corrupted.data_array.astype(want_dt)
             comps = np.load(
                 os.path.join(args.prep_cache, "comps.npy"), allow_pickle=True
             ).item()

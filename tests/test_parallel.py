@@ -708,6 +708,39 @@ def test_checkpoint_resume_under_auto_plan(tmp_path, projected_multitime):
     assert np.array_equal(model_a.data_array, model_b.data_array)
 
 
+def test_checkpoint_resume_across_use_min_flip(tmp_path, projected_multitime):
+    """A batched checkpoint saved with one use_min setting resumes under
+    the other (drivers may couple use_min to patience — hera_full_demo —
+    so a --patience change across a resume flips the tree structure; the
+    resume adapts instead of refusing)."""
+    def run(ckdir, maxsteps, use_min):
+        return calibration.calibrate_and_model_dpss(
+            min_dly=2.0 / 0.3,
+            offset=2.0 / 0.3,
+            uvdata=projected_multitime,
+            gains=None,
+            maxsteps=maxsteps,
+            tol=0.0,
+            use_min=use_min,
+            time_parallel=True,
+            mesh=False,
+            checkpoint_dir=ckdir,
+            checkpoint_every=50,
+            resume=True,
+            comps_precision="float32",
+        )
+
+    for first, second in ((False, True), (True, False)):
+        ck = str(tmp_path / f"flip_{int(first)}")
+        run(ck, 60, first)
+        model, resid, gains, hist = run(ck, 120, second)
+        for t in range(3):
+            losses = np.asarray(hist[0][t]["loss"])
+            assert len(losses) == 120
+            assert np.all(np.isfinite(losses))
+        assert np.all(np.isfinite(gains.gain_array))
+
+
 def test_freeze_model_sum_reg_under_auto_plan(projected_multitime):
     """freeze_model + sum regularization through the single-device layout
     plan: the constant coefficient tensors route through put_entries and
