@@ -234,6 +234,31 @@ def test_carriage_return_output_counts_as_liveness():
     assert code == 0
 
 
+def test_unflushed_prints_count_as_liveness():
+    """A child that prints WITHOUT flushing (calamity_tpu.utils.echo uses
+    plain print) must not be killed as hung: a piped Python child is
+    block-buffered by default, so sparse echoes would sit in its 8 KiB
+    stdio buffer past hang_timeout_s — default_run launches the child
+    with PYTHONUNBUFFERED=1 so bytes reach the liveness pipe immediately
+    (review r3)."""
+    script = (
+        "import time\n"
+        "for i in range(10):\n"
+        "    print(f'echo {i}')\n"  # deliberately NOT flushed
+        "    time.sleep(1.0)\n"
+        "print('converged')\n"
+    )
+    code = supervisor.run_supervised(
+        [sys.executable, "-c", script],
+        max_restarts=0,  # any hang-kill would exhaust restarts -> nonzero
+        hang_timeout_s=6.0,  # shorter than the 10 s run, 6x the 1 s gaps
+        probe_fn=lambda: True,
+        echo=lambda *_: None,
+        sleep_fn=lambda *_: None,
+    )
+    assert code == 0
+
+
 def test_cli_requires_command(capsys):
     with pytest.raises(SystemExit):
         supervisor.main(["--max_restarts", "1"])
