@@ -897,11 +897,15 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         stored_use_min = cfg.use_min
         try:
             tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
-        except ValueError:
+        except ValueError as direct_err:
             # the saving run's use_min differed (drivers may couple use_min
             # to patience — e.g. hera_full_demo — so a --patience change
             # across a resume flips it); retry with the flipped structure
-            # and adapt below rather than refusing the resume
+            # and adapt below rather than refusing the resume. A checkpoint
+            # that matches NEITHER structure (changed nbatch/freeze_model/
+            # optimizer, or a corrupt save) fails the retry too — surface
+            # the DIRECT attempt's error (the accurate mismatch description)
+            # with the retry's chained as context
             stored_use_min = not cfg.use_min
             like_tree = dict(
                 like_tree,
@@ -912,7 +916,12 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
                     else ()
                 ),
             )
-            tree, scal = load_state(ckpt_path, like_tree, ("step", "history"))
+            try:
+                tree, scal = load_state(
+                    ckpt_path, like_tree, ("step", "history")
+                )
+            except ValueError as flip_err:
+                raise direct_err from flip_err
 
         def replace_on(like_leaf, leaf):
             # restore each leaf onto the entry array's sharding (mesh runs).
@@ -940,7 +949,16 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
             # saved without argmin tracking: restart it at the resume point
             # (a DISTINCT copy — params and best_params are both donated)
             best_params = jax.tree_util.tree_map(jnp.copy, params)
-        # else: saved WITH argmin tracking, now off — drop the stored copy
+        else:
+            # saved WITH argmin tracking, now off — drop the stored copy AND
+            # free its device buffers now: `tree` keeps a reference for the
+            # whole descent, and a retained param-set-sized block is exactly
+            # the superseded-buffer class the HBM discipline above exists to
+            # avoid (full-array resumes OOM on retained entry buffers)
+            for leaf in jax.tree_util.tree_leaves(tree["best_params"]):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            tree["best_params"] = ()
         prev = tree["prev"]
         frozen = tree["frozen"]
         # the not-yet-frozen sentinel is the SAVING run's maxsteps; a resume
