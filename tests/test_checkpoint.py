@@ -322,39 +322,26 @@ def test_steps_per_execution_counts_warmup():
         assert np.array_equal(np.asarray(res.loss_history)[:12], href[:12])
 
 
-def test_steps_per_execution_rejected_off_batched_path(projected_multitime):
-    """The serial and warm-started-scan paths raise loudly instead of
-    silently ignoring the execution bound."""
+def test_steps_per_execution_rejected_on_serial_path(projected_multitime):
+    """The serial path raises loudly instead of silently ignoring the
+    execution bound (the time_parallel paths — batched AND warm-started
+    scan — support it; VERDICT r3 item 2)."""
     with pytest.raises(ValueError, match="steps_per_execution"):
         calibration.calibrate_and_model_dpss(
             min_dly=2.0 / 0.3, offset=2.0 / 0.3,
             uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
             steps_per_execution=5,
         )
-    with pytest.raises(ValueError, match="steps_per_execution"):
-        calibration.calibrate_and_model_dpss(
-            min_dly=2.0 / 0.3, offset=2.0 / 0.3,
-            uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
-            time_parallel=True, init_guesses_from_previous_time_step=True,
-            steps_per_execution=5,
-        )
 
 
-def test_loss_block_rejected_off_batched_path(projected_multitime):
-    """loss_block_ngrps is implemented for the batched time-parallel
-    descent only; the other paths raise instead of silently dropping the
+def test_loss_block_rejected_on_serial_path(projected_multitime):
+    """loss_block_ngrps is implemented for the time_parallel paths only;
+    the serial path raises instead of silently dropping the
     activation-HBM bound (review r3)."""
     with pytest.raises(ValueError, match="loss_block_ngrps"):
         calibration.calibrate_and_model_dpss(
             min_dly=2.0 / 0.3, offset=2.0 / 0.3,
             uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
-            loss_block_ngrps=4,
-        )
-    with pytest.raises(ValueError, match="loss_block_ngrps"):
-        calibration.calibrate_and_model_dpss(
-            min_dly=2.0 / 0.3, offset=2.0 / 0.3,
-            uvdata=projected_multitime, gains=None, maxsteps=10, tol=0.0,
-            time_parallel=True, init_guesses_from_previous_time_step=True,
             loss_block_ngrps=4,
         )
 
@@ -590,6 +577,149 @@ def test_scan_checkpoint_resume(tmp_path, projected_multitime):
     row1 = np.asarray(hist_c[0][1]["loss"], dtype=float)  # fresh: 220 steps
     assert np.array_equal(row0, np.asarray(hist_a[0][0]["loss"]))
     assert len(row1) == 220 and np.all(np.isfinite(row1))
+
+
+def _run_scan(uvdata, maxsteps=120, **kw):
+    kw.setdefault("tol", 0.0)
+    return calibration.calibrate_and_model_dpss(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=uvdata,
+        gains=None,
+        maxsteps=maxsteps,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        init_guesses_from_previous_time_step=True,
+        **kw,
+    )
+
+
+def test_scan_segmentation_invariance(tmp_path, projected_multitime):
+    """VERDICT r3 item 2: the warm-started scan's endurance mode. The
+    per-time descents run through the segmented batched machinery, so
+    (a) segmentation (steps_per_execution) must not change the trajectory
+    — bit-exact vs the checkpoint-cadence-only segmented run — and
+    (b) the segmented mode must agree with the fused lax.scan path to
+    descent-noise tolerance (different loss contraction order)."""
+    model_f, resid_f, gains_f, hist_f = _run_scan(projected_multitime)
+    model_a, resid_a, gains_a, hist_a = _run_scan(
+        projected_multitime, checkpoint_dir=str(tmp_path / "a"),
+        checkpoint_every=40,
+    )
+    model_b, resid_b, gains_b, hist_b = _run_scan(
+        projected_multitime, checkpoint_dir=str(tmp_path / "b"),
+        checkpoint_every=40, steps_per_execution=7,
+    )
+    for t in hist_a[0]:
+        assert np.array_equal(
+            np.asarray(hist_a[0][t]["loss"]), np.asarray(hist_b[0][t]["loss"])
+        )
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+    assert np.array_equal(model_a.data_array, model_b.data_array)
+    # vs the fused scan: same math, different (batched) contraction order
+    scale = np.sqrt(np.mean(np.abs(model_f.data_array) ** 2))
+    assert np.allclose(model_a.data_array, model_f.data_array,
+                       rtol=1e-3, atol=2e-3 * scale)
+    assert np.allclose(gains_a.gain_array, gains_f.gain_array, atol=1e-3)
+
+
+def test_scan_loss_block(tmp_path, projected_multitime):
+    """loss_block_ngrps on the warm-started scan (previously rejected):
+    group-blocked loss evaluation must reproduce the unblocked segmented
+    trajectory."""
+    model_a, resid_a, gains_a, hist_a = _run_scan(
+        projected_multitime, maxsteps=60, steps_per_execution=9,
+    )
+    model_b, resid_b, gains_b, hist_b = _run_scan(
+        projected_multitime, maxsteps=60, steps_per_execution=9,
+        loss_block_ngrps=4,
+    )
+    for t in hist_a[0]:
+        a = np.asarray(hist_a[0][t]["loss"])
+        b = np.asarray(hist_b[0][t]["loss"])
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-7)
+    assert np.allclose(gains_a.gain_array, gains_b.gain_array, atol=1e-4)
+
+
+def test_scan_mid_time_kill_and_resume(tmp_path, projected_multitime, monkeypatch):
+    """A crash in the MIDDLE of a warm-started time's descent (after a
+    segment checkpoint landed, before the time completed) resumes from the
+    mid-time segment state and reproduces the uninterrupted run bit-exactly
+    — the endurance contract the reference's recommended multi-time mode
+    (calibration.py:1085-1087) never had."""
+    from calamity_tpu.solver import checkpoint as ckpt
+
+    ck_a = str(tmp_path / "full")
+    model_a, resid_a, gains_a, hist_a = _run_scan(
+        projected_multitime, checkpoint_dir=ck_a, checkpoint_every=40,
+        steps_per_execution=7,
+    )
+
+    ck_b = str(tmp_path / "killed")
+    real_save = ckpt.save_state
+
+    def killing_save(path, tree_state, scalar_state):
+        if "time_1" in path and path.endswith("step_80"):
+            raise RuntimeError("injected mid-time crash")
+        return real_save(path, tree_state, scalar_state)
+
+    monkeypatch.setattr(ckpt, "save_state", killing_save)
+    with pytest.raises(RuntimeError, match="injected"):
+        _run_scan(
+            projected_multitime, checkpoint_dir=ck_b, checkpoint_every=40,
+            steps_per_execution=7,
+        )
+    monkeypatch.setattr(ckpt, "save_state", real_save)
+    scan_dir = os.path.join(ck_b, "pol0_scan")
+    assert os.path.isdir(os.path.join(scan_dir, "step_1"))  # time 0 done
+    assert not os.path.isdir(os.path.join(scan_dir, "step_2"))
+    assert ckpt.latest_checkpoint(
+        os.path.join(scan_dir, "time_1")
+    ) is not None  # mid-time segment state survived
+    model_b, resid_b, gains_b, hist_b = _run_scan(
+        projected_multitime, checkpoint_dir=ck_b, checkpoint_every=40,
+        steps_per_execution=7,
+    )
+    for t in hist_a[0]:
+        assert np.array_equal(
+            np.asarray(hist_a[0][t]["loss"]), np.asarray(hist_b[0][t]["loss"])
+        )
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+    assert np.array_equal(model_a.data_array, model_b.data_array)
+    # completed times' mid-time segment dirs are cleaned up
+    assert not os.path.isdir(os.path.join(scan_dir, "time_1"))
+
+
+def test_scan_mixed_precision(tmp_path, projected_multitime):
+    """comps_precision="mixed" on the warm-started scan (previously
+    rejected): each time runs the bf16 bulk + f32 polish schedule with the
+    optimizer state carried across the switch; the fit reaches the f32
+    floor and a mid-run kill resumes to the identical result."""
+    model_a, resid_a, gains_a, hist_a = _run_scan(
+        projected_multitime, maxsteps=150, comps_precision="mixed",
+        correct_resid=True, correct_model=True,
+        checkpoint_dir=str(tmp_path / "ma"), checkpoint_every=60,
+    )
+    rms = lambda x: np.sqrt(np.mean(np.abs(x) ** 2))
+    assert rms(model_a.data_array) >= 1e2 * rms(resid_a.data_array)
+    # two phases recorded per time
+    for t in hist_a[0]:
+        assert len(hist_a[0][t]["loss"]) == 300
+    # resume after a kill between time 1 and time 2 reproduces the run
+    import shutil
+
+    scan_dir = os.path.join(str(tmp_path / "ma"), "pol0_scan")
+    shutil.rmtree(os.path.join(scan_dir, "step_2"))
+    model_b, resid_b, gains_b, hist_b = _run_scan(
+        projected_multitime, maxsteps=150, comps_precision="mixed",
+        correct_resid=True, correct_model=True,
+        checkpoint_dir=str(tmp_path / "ma"), checkpoint_every=60,
+    )
+    for t in hist_a[0]:
+        assert np.array_equal(
+            np.asarray(hist_a[0][t]["loss"]), np.asarray(hist_b[0][t]["loss"])
+        )
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
 
 
 def test_checkpointed_divergence_terminates(tmp_path, projected):

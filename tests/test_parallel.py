@@ -269,6 +269,39 @@ def test_time_scan_sharded_matches_unsharded(projected_multitime):
     assert RMS(resid_s.data_array) <= 2 * max(RMS(resid_u.data_array), 1e-12)
 
 
+def test_time_scan_segmented_on_mesh(tmp_path, projected_multitime):
+    """Scan-path segmentation invariance UNDER THE MESH (VERDICT r3 item
+    2's done criterion): the warm-started scan sharded over 'bl' with
+    bounded device executions must reproduce the mesh run without the
+    bound bit-exactly — same segment program, traced seg_len."""
+    mesh = parallel.make_mesh(n_data=1, n_bl=8)
+    kwargs = dict(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=projected_multitime,
+        gains=None,
+        maxsteps=80,
+        tol=0.0,
+        model_regularization="post_hoc",
+        time_parallel=True,
+        init_guesses_from_previous_time_step=True,
+        mesh=mesh,
+    )
+    model_a, resid_a, gains_a, hist_a = calibration.calibrate_and_model_dpss(
+        checkpoint_dir=str(tmp_path / "a"), checkpoint_every=40, **kwargs
+    )
+    model_b, resid_b, gains_b, hist_b = calibration.calibrate_and_model_dpss(
+        checkpoint_dir=str(tmp_path / "b"), checkpoint_every=40,
+        steps_per_execution=7, **kwargs
+    )
+    for t in hist_a[0]:
+        assert np.array_equal(
+            np.asarray(hist_a[0][t]["loss"]), np.asarray(hist_b[0][t]["loss"])
+        )
+    assert np.array_equal(gains_a.gain_array, gains_b.gain_array)
+    assert np.array_equal(model_a.data_array, model_b.data_array)
+
+
 def test_blocked_loss_matches_unblocked():
     """loss_block evaluates chunks as a scan over group blocks; values AND
     gradients must match the single-evaluation path for dense, plain-
