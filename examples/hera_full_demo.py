@@ -64,9 +64,15 @@ def main():
                     help="build + cache the prepared inputs and exit "
                          "without touching the device (fill the cache "
                          "while the device is busy or down)")
-    ap.add_argument("--patience", type=int, default=0,
+    ap.add_argument("--patience", type=int, default=500,
                     help="freeze a slice when its loss has not improved for "
-                         "this many steps (with use_min bookkeeping; 0 off)")
+                         "this many steps (with use_min bookkeeping; 0 off). "
+                         "Default 500: the measured-best stopping config for "
+                         "long blind-cal fits — on the measured plateau the "
+                         "argmin lands at step ~3,200 and 21,788 further "
+                         "steps produce no new minimum (docs/DESIGN.md "
+                         "'Patience stopping'); reference semantics need an "
+                         "explicit --patience 0")
     ap.add_argument("--loss_block_ngrps", type=int, default=None,
                     help="group-block size for the scanned batched loss "
                          "(bounds activation HBM at many times)")

@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--nsrc", type=int, default=100)
     ap.add_argument("--maxsteps", type=int, default=5000)
     ap.add_argument("--tol", type=float, default=1e-11)
+    ap.add_argument("--patience", type=int, default=500,
+                    help="stop when the loss has not improved for this many "
+                         "steps and return the tracked argmin (use_min); the "
+                         "measured-best stopping config for long blind-cal "
+                         "fits (docs/DESIGN.md 'Patience stopping'); 0 "
+                         "restores reference semantics")
     ap.add_argument("--backend", default="default", choices=["cpu", "default"])
     ap.add_argument("--comps_precision", default=None,
                     choices=["float32", "bfloat16", "mixed"],
@@ -103,6 +109,8 @@ def main():
         maxsteps=args.maxsteps,
         comps_precision=args.comps_precision,
         tol=args.tol,
+        patience=args.patience,
+        use_min=args.patience > 0,
         learning_rate=1e-2,
         correct_resid=True,
         correct_model=True,
@@ -121,6 +129,8 @@ def main():
             fg_model_comps_dict=comps,
             maxsteps=args.maxsteps,
             tol=args.tol,
+            patience=args.patience,
+            use_min=args.patience > 0,
             learning_rate=1e-2,
             correct_resid=True,
             correct_model=True,

@@ -11,6 +11,11 @@
 #                               executions stay well under a minute (bf16
 #                               ~0.5 s/step, f32 ~0.85 s/step)
 #   --checkpoint_every 500      bounds lost work to ~4 min of device time
+#   --patience 500              measured-best stopping (docs/DESIGN.md
+#                               "Patience stopping"): freeze a slice after 500
+#                               steps without a new loss minimum and return the
+#                               tracked argmin (use_min) instead of burning the
+#                               budget orbiting the plateau
 #   --prep_cache                the ~hour of host prep runs once; supervised
 #                               relaunches reload in minutes
 #   calamity_tpu.supervisor     classifies worker crashes as transient, waits
@@ -39,4 +44,5 @@ exec python -m calamity_tpu.supervisor -- \
     --checkpoint_every 500 \
     --steps_per_execution 40 \
     --loss_block_ngrps 2048 \
+    --patience 500 \
     --maxsteps 2000 --tol 1e-11

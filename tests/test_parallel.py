@@ -856,6 +856,69 @@ def test_patience_freezes_plateaued_slice():
     assert np.float32(np.asarray(res.final_loss)[1]) == np.nanmin(hist[:, 1])
 
 
+def test_scale_default_stopping_reaches_same_floor(golomb_visdata):
+    """The scale entry points (hera_full_demo, scale_demo, hera_core_demo,
+    run_endurance.sh) default to patience>0 + use_min — the measured-best
+    stopping config (docs/DESIGN.md 'Patience stopping'; VERDICT r3 item
+    7). Regression: that config must reach the same loss floor as
+    reference semantics (patience=0) while stopping earlier on the
+    plateau, and the demos must keep the default wired."""
+    uvd = golomb_visdata.copy()
+    comps = models.yield_pbl_dpss_model_comps(
+        uvd, offset=2.0 / 0.3, min_dly=2.0 / 0.3
+    )
+    project_onto_dpss(uvd, comps)
+    # an un-modelable noise floor makes the fit end on the oscillating
+    # plateau the measurement describes (a perfect-fit fixture decays
+    # forever and patience would never fire)
+    rng = np.random.default_rng(3)
+    noise = 1e-3 * np.sqrt(np.mean(np.abs(uvd.data_array) ** 2))
+    uvd.data_array = uvd.data_array + noise * (
+        rng.standard_normal(uvd.data_array.shape)
+        + 1j * rng.standard_normal(uvd.data_array.shape)
+    )
+    kwargs = dict(
+        min_dly=2.0 / 0.3,
+        offset=2.0 / 0.3,
+        uvdata=uvd,
+        gains=None,
+        maxsteps=500,
+        tol=0.0,
+        comps_precision="float32",
+        model_regularization="post_hoc",
+        time_parallel=True,
+    )
+    _, _, _, hist0 = calibration.calibrate_and_model_dpss(**kwargs)
+    _, _, _, hist_p = calibration.calibrate_and_model_dpss(
+        patience=60, use_min=True, **kwargs
+    )
+    l0 = np.asarray(hist0[0][0]["loss"])
+    lp = np.asarray(hist_p[0][0]["loss"])
+    # patience never runs longer, and the argmin-tracked floor matches the
+    # reference-semantics run's best visit (early stopping is demonstrated
+    # on a true plateau in test_patience_freezes_plateaued_slice; on this
+    # noisy fixture micro-improvements can keep resetting the window, so
+    # only no-regression is asserted here)
+    assert len(lp) <= len(l0)
+    assert np.nanmin(lp) <= np.nanmin(l0) * 1.05
+    # the demos keep the measured-best default (tripwire against silently
+    # reverting to patience=0)
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for script in (
+        "examples/hera_full_demo.py",
+        "examples/scale_demo.py",
+        "examples/hera_core_demo.py",
+    ):
+        with open(os.path.join(root, script)) as f:
+            src = f.read()
+        i = src.index('"--patience"')
+        assert "default=500" in src[i : i + 120], script
+    with open(os.path.join(root, "scripts/run_endurance.sh")) as f:
+        assert "--patience 500" in f.read()
+
+
 def test_patience_freeze_composes_with_mesh():
     """The per-slice since-best carry shards like the freeze mask: the
     zero-plateau batched fit sharded over a ('data','bl') mesh freezes at
