@@ -443,6 +443,7 @@ def calibrate_and_model_tensor(
                 mesh=mesh,
                 steps_per_execution=steps_per_execution,
                 loss_block_ngrps=loss_block_ngrps,
+                timings=timings,
             )
         return _calibrate_time_parallel(
             uvdata=uvdata,
@@ -479,6 +480,7 @@ def calibrate_and_model_tensor(
             n_profile_steps=n_profile_steps,
             profile_log_dir=profile_log_dir,
             loss_block_ngrps=loss_block_ngrps,
+            timings=timings,
         )
 
     fit_history = {}
@@ -672,6 +674,7 @@ def _calibrate_time_scan(
     wgts_precision="float32",
     steps_per_execution=None,
     loss_block_ngrps=None,
+    timings=None,
 ):
     """Warm-started sequential fits over times, compiled as one lax.scan
     per polarization (the compiled counterpart of the reference's
@@ -1169,6 +1172,7 @@ def _calibrate_time_scan(
                 cfg, fit_chunks, data_r_s, data_i_s, wgts_s,
                 g_r0, g_i0, fg0_r, fg0_i, prior_r_s, prior_i_s,
             )
+        _t_wb = _time.time()  # write-back wall-clock (VERDICT r3 item 4)
         history = np.asarray(history, dtype=np.float64)
         nsteps = np.asarray(nsteps)
         g_r_all = np.asarray(all_params[0])
@@ -1212,10 +1216,20 @@ def _calibrate_time_scan(
                     time=time,
                     additional_flags=uvdata.flag_array,
                 )
+        if timings is not None:
+            timings["writeback_s"] = (
+                timings.get("writeback_s", 0.0) + _time.time() - _t_wb
+            )
 
+    _t_fin = _time.time()
     model, resid = _finalize_model_resid(
         uvdata, model, resid, gains, correct_model, correct_resid
     )
+    if timings is not None:
+        timings["writeback_s"] = (
+            timings.get("writeback_s", 0.0) + _time.time() - _t_fin
+        )
+        timings["writeback_rss_gib"] = utils.rss_gib()
     return model, resid, gains, fit_history
 
 
@@ -1336,6 +1350,7 @@ def _calibrate_time_parallel(
     profile_log_dir="./logdir",
     loss_block_ngrps=None,
     wgts_precision="float32",
+    timings=None,
 ):
     """Batched (time x pol) fitting: every unskipped slice in one descent.
 
@@ -1876,6 +1891,7 @@ def _calibrate_time_parallel(
         slice_losses = [
             history[: int(nsteps_slice[b]), b].tolist() for b in range(len(slices))
         ]
+    _t_wb = _time.time()  # write-back wall-clock (VERDICT r3 item 4)
     g_r_out = np.asarray(result.g_r)
     g_i_out = np.asarray(result.g_i)
     fg_r_out = [np.asarray(x) for x in result.fg_r]
@@ -1929,6 +1945,9 @@ def _calibrate_time_parallel(
     model, resid = _finalize_model_resid(
         uvdata, model, resid, gains, correct_model, correct_resid
     )
+    if timings is not None:
+        timings["writeback_s"] = _time.time() - _t_wb
+        timings["writeback_rss_gib"] = utils.rss_gib()
     return model, resid, gains, fit_history
 
 

@@ -343,6 +343,9 @@ def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
           "(FitSpec: chunk tensors + row/conj tables)")
     print(f"fit       : {t_fit:7.1f}s ({nsteps} steps, "
           f"{1e3 * t_fit / max(nsteps, 1):.2f} ms/step incl. compile+packing)")
+    if "writeback_s" in timings:
+        print(f"write-back: {timings['writeback_s']:7.1f}s "
+              f"(host RSS at end {timings.get('writeback_rss_gib', float('nan')):.1f} GiB)")
     print(f"loss      : {info[0][0]['loss'][0]:.3e} -> {info[0][0]['loss'][-1]:.3e}")
     print(f"model/resid: {rms(model.data_array) / rms(resid.data_array):.1f}x")
     print(f"data/resid : {rms(corrupted.data_array) / rms(resid.data_array):.1f}x")
