@@ -154,6 +154,7 @@ def run_supervised(
     echo=print,
     sleep_fn=time.sleep,
     run_fn=None,
+    poll_s: float = 5.0,
 ) -> int:
     """Run ``argv`` until it exits 0, restarting on transient device death.
 
@@ -172,8 +173,9 @@ def run_supervised(
     (full-scale XLA compiles are minutes; the default 1 h is generous).
     ``None`` disables hang detection.
 
-    ``probe_fn``/``run_fn``/``sleep_fn`` exist for tests (inject fakes);
-    production callers use the defaults."""
+    ``probe_fn``/``run_fn``/``sleep_fn``/``poll_s`` exist for tests
+    (inject fakes / shrink the liveness-poll granularity so hang-detection
+    tests run in seconds); production callers use the defaults."""
 
     def default_run(argv):
         import os
@@ -211,7 +213,7 @@ def run_supervised(
         hung = False
         while True:
             try:
-                proc.wait(timeout=5.0)
+                proc.wait(timeout=poll_s)
                 break
             except subprocess.TimeoutExpired:
                 pass

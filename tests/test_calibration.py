@@ -755,6 +755,7 @@ def test_calibrate_and_model_dpss_with_rfi_flags(noise_with_flags):
     "use_redundancy, nsamples_in_weights, use_model_snr_weights",
     [(True, True, False), (False, False, False), (False, False, True)],
 )
+@pytest.mark.slow
 def test_calibrate_and_model_dpss_redundant(
     sky_model_redundant, use_redundancy, nsamples_in_weights, use_model_snr_weights
 ):
@@ -867,6 +868,7 @@ def test_nvec_bucketing(sky_model_projected, dpss_vectors, gains):
     assert RMS(model.data_array) >= 1e2 * RMS(resid.data_array)
 
 
+@pytest.mark.slow
 def test_include_autos(redundant_visdata):
     """Autocorrelations can be included in the fit (include_autos=True);
     the model covers them and converges (reference include_autos flag,
@@ -919,6 +921,7 @@ def test_correct_flags_matrix(sky_model_projected, gains):
     assert np.allclose(r1.data_array, r2.data_array, atol=1e-7 * RMS(m1.data_array))
 
 
+@pytest.mark.slow
 def test_shared_basis_chunks(redundant_visdata):
     """Redundant arrays: baselines sharing a DPSS operator get shared-basis
     chunks (comps stored once), and the fit matches the dense path."""
@@ -950,6 +953,7 @@ def test_shared_basis_chunks(redundant_visdata):
                        atol=1e-4 * RMS(m2.data_array), rtol=0)
 
 
+@pytest.mark.slow
 def test_shared_basis_time_parallel(redundant_visdata):
     uvd = redundant_visdata.copy()
     uvd.select(bls=[ap for ap in uvd.get_antpairs() if ap[0] != ap[1]], inplace=True)
@@ -989,6 +993,7 @@ def test_divergence_watchdog(sky_model_projected, gains):
     assert not np.isfinite(losses[-1])
 
 
+@pytest.mark.slow
 def test_mixed_save_dict_roundtrip(tmp_path, uvdata, gains_randomized, weights):
     """save_dict_to persists the component dict; a reloaded dict feeds
     model_comps_dict= for an identical fit (reference calibration.py:
@@ -1025,6 +1030,7 @@ def test_mixed_save_dict_roundtrip(tmp_path, uvdata, gains_randomized, weights):
     assert np.allclose(g1.gain_array, g2.gain_array)
 
 
+@pytest.mark.slow
 def test_shared_batched_grid_core():
     """Grid-core array: many operator classes bucket into shared-BATCHED
     chunks (1 < U < ngrps, padded classes), and the fit matches the dense
@@ -1097,6 +1103,7 @@ def test_shared_batched_grid_core():
                        atol=1e-4 * RMS(m2.data_array), rtol=0)
 
 
+@pytest.mark.slow
 def test_remat_matches_default(sky_model_projected, gains):
     """remat=True produces the same fit (recompute-in-backward only trades
     memory for FLOPs)."""

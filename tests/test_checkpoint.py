@@ -51,6 +51,7 @@ def test_checkpoints_written_and_fit_converges(tmp_path, projected):
     assert len(hist[0][0]["loss"]) == 150
 
 
+@pytest.mark.slow
 def test_resume_continues_descent(tmp_path, projected):
     """Interrupted run + resume reproduces the uninterrupted trajectory."""
     ck_a = str(tmp_path / "a")
@@ -207,6 +208,7 @@ def projected_multitime(projected):
     return projected + uvd2
 
 
+@pytest.mark.slow
 def test_batched_checkpoint_resume_bitexact_f32(tmp_path, projected_multitime):
     """Interrupted + resumed batched (time-parallel) descent reproduces the
     uninterrupted trajectory bit-exactly (VERDICT r2 item 1)."""
@@ -346,6 +348,7 @@ def test_loss_block_rejected_on_serial_path(projected_multitime):
         )
 
 
+@pytest.mark.slow
 def test_batched_checkpoint_resume_mixed(tmp_path, projected_multitime):
     """Mixed-precision batched descent with checkpointing: phase dirs are
     written, a resume with completed bf16 checkpoints skips phase 1 and
@@ -594,6 +597,7 @@ def _run_scan(uvdata, maxsteps=120, **kw):
     )
 
 
+@pytest.mark.slow
 def test_scan_segmentation_invariance(tmp_path, projected_multitime):
     """VERDICT r3 item 2: the warm-started scan's endurance mode. The
     per-time descents run through the segmented batched machinery, so
@@ -623,6 +627,7 @@ def test_scan_segmentation_invariance(tmp_path, projected_multitime):
     assert np.allclose(gains_a.gain_array, gains_f.gain_array, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_scan_loss_block(tmp_path, projected_multitime):
     """loss_block_ngrps on the warm-started scan (previously rejected):
     group-blocked loss evaluation must reproduce the unblocked segmented
@@ -690,6 +695,7 @@ def test_scan_mid_time_kill_and_resume(tmp_path, projected_multitime, monkeypatc
     assert not os.path.isdir(os.path.join(scan_dir, "time_1"))
 
 
+@pytest.mark.slow
 def test_scan_mixed_precision(tmp_path, projected_multitime):
     """comps_precision="mixed" on the warm-started scan (previously
     rejected): each time runs the bf16 bulk + f32 polish schedule with the
@@ -743,6 +749,7 @@ def test_checkpointed_divergence_terminates(tmp_path, projected):
     assert not np.isfinite(losses[-1])
 
 
+@pytest.mark.slow
 def test_patience_serial_stop_and_resume(tmp_path):
     """patience stops the serial descent after exactly `patience` steps
     without a new minimum — uninterrupted, checkpointed, AND resumed from

@@ -31,6 +31,7 @@ def test_dpss_fit_argparser_defaults(monkeypatch):
     assert args.patience == 0  # reference semantics by default
 
 
+@pytest.mark.slow
 def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata,
                                        monkeypatch):
     tmp = str(tmp_path)
@@ -87,6 +88,7 @@ def test_read_calibrate_and_model_dpss(tmp_path, input_file, redundant_visdata,
         assert os.path.exists(fn)
 
 
+@pytest.mark.slow
 def test_host_data_dtype_cli(tmp_path, input_file, monkeypatch):
     """--host_data_dtype complex64 halves host storage without changing
     the fit: outputs match the default (file-dtype) run closely."""
@@ -126,6 +128,7 @@ def test_host_data_dtype_cli(tmp_path, input_file, monkeypatch):
     assert args.host_data_dtype == "complex64"
 
 
+@pytest.mark.slow
 def test_weights_file_cli(tmp_path, input_file, redundant_visdata, monkeypatch):
     """--weights_file loads a UVFlag HDF5 weights object into the fit and
     matches passing the same object in memory."""
@@ -177,6 +180,7 @@ def test_read_calibrate_clobber_fails_fast(tmp_path, input_file):
         )
 
 
+@pytest.mark.slow
 def test_calh5_gain_output(tmp_path, input_file):
     out = os.path.join(str(tmp_path), "g.calh5")
     calibration.read_calibrate_and_model_dpss(

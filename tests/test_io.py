@@ -582,6 +582,7 @@ def test_blank_caldata_multitime_lst_alignment():
     assert len(cal.lst_array) == len(cal.time_array) == 2
 
 
+@pytest.mark.slow
 def test_multi_gain_file_concat(tmp_path, golomb_visdata):
     """read_calibrate_and_model_dpss concatenates ALL gain files (the
     reference reads lists via UVCal.read_calfits), not just the first."""

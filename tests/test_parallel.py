@@ -269,6 +269,7 @@ def test_time_scan_sharded_matches_unsharded(projected_multitime):
     assert RMS(resid_s.data_array) <= 2 * max(RMS(resid_u.data_array), 1e-12)
 
 
+@pytest.mark.slow
 def test_time_scan_segmented_on_mesh(tmp_path, projected_multitime):
     """Scan-path segmentation invariance UNDER THE MESH (VERDICT r3 item
     2's done criterion): the warm-started scan sharded over 'bl' with
@@ -302,6 +303,7 @@ def test_time_scan_segmented_on_mesh(tmp_path, projected_multitime):
     assert np.array_equal(model_a.data_array, model_b.data_array)
 
 
+@pytest.mark.slow
 def test_blocked_loss_matches_unblocked():
     """loss_block evaluates chunks as a scan over group blocks; values AND
     gradients must match the single-evaluation path for dense, plain-
@@ -508,6 +510,7 @@ def _grid_core_multitime(ntimes=2, nside=5, nfreqs=64):
     return uvd, comps
 
 
+@pytest.mark.slow
 def test_shared_batched_sharded_over_mesh():
     """The flagship full-HERA packing (shared-BATCHED chunks, U operator
     classes) sharded over the ('data','bl') mesh matches the dense serial
@@ -544,6 +547,7 @@ def test_shared_batched_sharded_over_mesh():
     )
 
 
+@pytest.mark.slow
 def test_batched_chunk_losses_match_per_slice():
     """The explicitly-batched loss equals per-slice chunked_loss for the
     dense, shared and shared-batched packings (incl. bf16 comps)."""
@@ -622,6 +626,7 @@ def test_compress_freq_invariant_wgts():
     assert _compress_freq_invariant_wgts(out) is out
 
 
+@pytest.mark.slow
 def test_auto_layout_plan_matches_jit_path(projected_multitime, monkeypatch):
     """The AOT auto-layout segment route (default on single device;
     mesh=False opts out of the virtual-device auto mesh) produces the same
@@ -856,6 +861,7 @@ def test_patience_freezes_plateaued_slice():
     assert np.float32(np.asarray(res.final_loss)[1]) == np.nanmin(hist[:, 1])
 
 
+@pytest.mark.slow
 def test_scale_default_stopping_reaches_same_floor(golomb_visdata):
     """The scale entry points (hera_full_demo, scale_demo, hera_core_demo,
     run_endurance.sh) default to patience>0 + use_min — the measured-best
@@ -1019,6 +1025,7 @@ def test_loss_block_size_validation_and_mesh_unit():
     assert _loss_block_size(6, 1, 2, multiple_of=4) is None
 
 
+@pytest.mark.slow
 def test_mesh_sky_model_blocked_warmstart(projected_multitime):
     """sky_model + mesh + loss_block_ngrps: the blocked warm-start init
     device_puts sky blocks onto the P('data','bl') sharding, so block

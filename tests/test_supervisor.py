@@ -153,7 +153,7 @@ def test_end_to_end_subprocess_resume(tmp_path):
         print("converged")
     """))
     code = supervisor.run_supervised(
-        [sys.executable, str(script)],
+        [sys.executable, "-S", str(script)],
         max_restarts=5,
         probe_fn=lambda: True,
         echo=lambda *_: None,
@@ -196,16 +196,17 @@ def test_hang_detection_kills_and_retries():
         "print('converged', flush=True)\n"
     )
     code = supervisor.run_supervised(
-        [sys.executable, "-c", script],
+        [sys.executable, "-S", "-c", script],
         max_restarts=2,
         # generous vs interpreter startup: under a loaded host (full-scale
         # XLA compile in a sibling process) the RELAUNCHED child can take
         # seconds to print its first byte, and a tight timeout kills the
         # healthy relaunch as hung, exhausting restarts (observed flake)
-        hang_timeout_s=10.0,
+        hang_timeout_s=4.0,
         probe_fn=lambda: True,
         echo=lambda *_: None,
         sleep_fn=lambda *_: None,
+        poll_s=0.2,  # shrink the liveness poll so the test runs in seconds
     )
     assert code == 0
     os.unlink(state)
@@ -217,19 +218,20 @@ def test_carriage_return_output_counts_as_liveness():
     raw bytes, not newline-terminated lines (review r3)."""
     script = (
         "import sys, time\n"
-        "for i in range(12):\n"
+        "for i in range(8):\n"
         "    sys.stdout.write(f'\\rprogress {i}')\n"
         "    sys.stdout.flush()\n"
-        "    time.sleep(1.0)\n"
+        "    time.sleep(0.4)\n"
         "print('\\nconverged', flush=True)\n"
     )
     code = supervisor.run_supervised(
-        [sys.executable, "-c", script],
+        [sys.executable, "-S", "-c", script],
         max_restarts=0,  # any hang-kill would exhaust restarts -> nonzero
-        hang_timeout_s=6.0,  # shorter than the 12 s run, 6x the 1 s gaps
+        hang_timeout_s=3.0,  # shorter than the ~3.2 s run, 7x the gaps
         probe_fn=lambda: True,
         echo=lambda *_: None,
         sleep_fn=lambda *_: None,
+        poll_s=0.2,
     )
     assert code == 0
 
@@ -243,18 +245,19 @@ def test_unflushed_prints_count_as_liveness():
     (review r3)."""
     script = (
         "import time\n"
-        "for i in range(10):\n"
+        "for i in range(8):\n"
         "    print(f'echo {i}')\n"  # deliberately NOT flushed
-        "    time.sleep(1.0)\n"
+        "    time.sleep(0.4)\n"
         "print('converged')\n"
     )
     code = supervisor.run_supervised(
-        [sys.executable, "-c", script],
+        [sys.executable, "-S", "-c", script],
         max_restarts=0,  # any hang-kill would exhaust restarts -> nonzero
-        hang_timeout_s=6.0,  # shorter than the 10 s run, 6x the 1 s gaps
+        hang_timeout_s=3.0,  # shorter than the ~3.2 s run, 7x the gaps
         probe_fn=lambda: True,
         echo=lambda *_: None,
         sleep_fn=lambda *_: None,
+        poll_s=0.2,
     )
     assert code == 0
 
@@ -268,7 +271,7 @@ def test_cli_passes_through(tmp_path):
     marker = tmp_path / "ran"
     code = supervisor.main(
         ["--max_restarts", "0", "--",
-         sys.executable, "-c",
+         sys.executable, "-S", "-c",
          f"open({str(marker)!r}, 'w').write('y')"]
     )
     assert code == 0
