@@ -44,6 +44,14 @@ def main():
                          "(docs/BF16_COMPS.md)")
     ap.add_argument("--time_parallel", action="store_true",
                     help="run the batched fit path (sharded over the mesh)")
+    ap.add_argument("--warm_start_times", action="store_true",
+                    help="with --time_parallel: fit times SEQUENTIALLY, each "
+                         "warm-started from the previous time's solution "
+                         "(init_guesses_from_previous_time_step). With any "
+                         "endurance flag (--checkpoint_dir, "
+                         "--steps_per_execution, --loss_block_ngrps) each "
+                         "time's descent runs through the segmented batched "
+                         "machinery; device holds ONE time slice")
     ap.add_argument("--mesh", default=None,
                     help="'auto' or 'N_DATA,N_BL': shard the fit over a "
                          "('data','bl') jax.sharding.Mesh")
@@ -308,6 +316,7 @@ def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
         nvec_bucketing=True,
         remat=True,
         time_parallel=args.time_parallel,
+        init_guesses_from_previous_time_step=args.warm_start_times,
         mesh=mesh,
         timings=timings,
         checkpoint_dir=args.checkpoint_dir,
