@@ -807,63 +807,65 @@ def _calibrate_time_scan(
         if not usable:
             continue
 
-        per = {k: [[] for _ in range(nchunks)] for k in ("dr", "di", "w")}
+        nt_u = len(usable)
+
+        def alloc_scan():
+            return tuple(
+                np.zeros(
+                    (nt_u, ngrps_pads[c], chunks[c][1].shape[1], spec.nfreqs),
+                    dtype=spec.dtype,
+                )
+                for c in range(nchunks)
+            )
+
+        # host-side extraction DIRECTLY into preallocated padded per-time
+        # stacks (FitSpec.pack_data_into — see the batched path's note:
+        # removes the per-slice lists + np.stack + zero-pad copy passes);
+        # the stacks upload to the device once below (device-side
+        # stacking would double the cube in HBM)
+        data_r_s = alloc_scan()
+        data_i_s = alloc_scan()
+        wgts_s = alloc_scan()
         priors_r, priors_i = [], []
         fg_init = None
-        # host-side extraction (as_numpy): the multi-time stack is built on
-        # the host and uploaded to the device once (see the batched path's
-        # packing note — device-side stacking doubles the cube in HBM)
+        ngr = [chunks[c][1].shape[0] for c in range(nchunks)]
         for slot, (time_index, time, rms) in enumerate(usable):
-            data_r, data_i, wgts = spec.pack_data(
-                uvdata, pol, time, data_scale_factor=rms, weights=weights,
-                nsamples_in_weights=nsamples_in_weights, as_numpy=True,
+            spec.pack_data_into(
+                uvdata, pol, time, data_r_s, data_i_s, wgts_s, slot,
+                data_scale_factor=rms, weights=weights,
+                nsamples_in_weights=nsamples_in_weights,
             )
+            w_v = [wgts_s[c][slot, : ngr[c]] for c in range(nchunks)]
             if sky_model is not None:
                 sky_r, sky_i, _ = spec.pack_data(
                     sky_model, pol, time, data_scale_factor=rms, weights=weights,
                     as_numpy=True,
                 )
             else:
-                sky_r, sky_i = data_r, data_i
+                sky_r = [data_r_s[c][slot, : ngr[c]] for c in range(nchunks)]
+                sky_i = [data_i_s[c][slot, : ngr[c]] for c in range(nchunks)]
             if slot == 0:
-                fg_init = (tuple(spec.init_coeffs(sky_r, wgts)),
-                           tuple(spec.init_coeffs(sky_i, wgts)))
+                fg_init = (tuple(spec.init_coeffs(sky_r, w_v)),
+                           tuple(spec.init_coeffs(sky_i, w_v)))
                 if use_model_snr_weights:
                     # SNR scaling applies only at the first time; later
                     # warm-started times keep their own per-time weights
                     # (and flags) unscaled — reference semantics, the
                     # scaling lives inside the init branch
-                    # (calibration.py:1210-1242)
+                    # (calibration.py:1210-1242). Rewritten IN PLACE on
+                    # the slot-0 stack views.
                     wmodel = fg_model_all_chunks(fg_init[0], fg_init[1], chunks)
-                    wgts = [
-                        (np.square(np.asarray(vr)) + np.square(np.asarray(vi))) * w
-                        for (vr, vi), w in zip(wmodel, wgts)
-                    ]
-                    wsum = sum(float(np.sum(w)) for w in wgts)
-                    wgts = [np.asarray(w / wsum, dtype=spec.dtype) for w in wgts]
-            priors_r.append(sum(float(np.sum(sr * w)) for sr, w in zip(sky_r, wgts)))
-            priors_i.append(sum(float(np.sum(si * w)) for si, w in zip(sky_i, wgts)))
-            for cnum in range(nchunks):
-                per["dr"][cnum].append(data_r[cnum])
-                per["di"][cnum].append(data_i[cnum])
-                per["w"][cnum].append(wgts[cnum])
-
+                    for cnum, (vr, vi) in enumerate(wmodel):
+                        w_v[cnum] *= (
+                            np.square(np.asarray(vr)) + np.square(np.asarray(vi))
+                        )
+                    wsum = sum(float(np.sum(w)) for w in w_v)
+                    for w in w_v:
+                        np.divide(w, np.dtype(spec.dtype).type(wsum), out=w)
+            priors_r.append(sum(float(np.sum(sr * w)) for sr, w in zip(sky_r, w_v)))
+            priors_i.append(sum(float(np.sum(si * w)) for si, w in zip(sky_i, w_v)))
 
         g_r0, g_i0 = spec.pack_gains(gains, pol, usable[0][1])
-
-        def stack_padded(lists):
-            # HOST stack of per-time chunk tensors, group axis padded to
-            # the mesh multiple chosen by _pad_chunks_for_bl; uploaded to
-            # the device exactly once below
-            return tuple(
-                _pad_axis_np(np.stack([np.asarray(v) for v in x]), 1,
-                             ngrps_pads[cnum])
-                for cnum, x in enumerate(lists)
-            )
-
-        data_r_s = stack_padded(per["dr"])
-        data_i_s = stack_padded(per["di"])
-        wgts_s = stack_padded(per["w"])
         if not use_pallas:
             # broadcastable weights (see _compress_freq_invariant_wgts);
             # the scan slices the leading time axis, the loss broadcasts
@@ -1409,69 +1411,69 @@ def _calibrate_time_parallel(
         verbose=verbose,
     )
 
-    per_slice = {"g_r": [], "g_i": [],
-                 "data_r": [[] for _ in range(nchunks)],
-                 "data_i": [[] for _ in range(nchunks)],
-                 "wgts": [[] for _ in range(nchunks)],
-                 "sky_r": [[] for _ in range(nchunks)],
-                 "sky_i": [[] for _ in range(nchunks)]}
-    # per-slice extraction stays on the HOST (as_numpy): the batch is
-    # stacked here and uploaded to the device ONCE below — uploading per
-    # slice and stacking on device would transiently hold TWO copies of
-    # the full (nbatch, ngrps, nbls, nfreqs) data cube in HBM, which blows
-    # the single-chip budget at 331 ants x 1536 ch x 8 times. Coefficient
-    # warm starts, priors and SNR reweighting run AFTER the single upload,
-    # batched over slices, so no per-slice device round trips remain.
-    have_sky = sky_model is not None
-    for polnum, pol, time_index, time, rms in slices:
-        data_r, data_i, wgts = spec.pack_data(
-            uvdata, pol, time, data_scale_factor=rms, weights=weights,
-            nsamples_in_weights=nsamples_in_weights, as_numpy=True,
-        )
-        if have_sky:
-            sky_r, sky_i, _ = spec.pack_data(
-                sky_model, pol, time, data_scale_factor=rms, weights=weights,
-                as_numpy=True,
-            )
-        g_r, g_i = spec.pack_gains(gains, pol, time)
-        per_slice["g_r"].append(g_r)
-        per_slice["g_i"].append(g_i)
-        for cnum in range(nchunks):
-            per_slice["data_r"][cnum].append(data_r[cnum])
-            per_slice["data_i"][cnum].append(data_i[cnum])
-            per_slice["wgts"][cnum].append(wgts[cnum])
-            if have_sky:
-                per_slice["sky_r"][cnum].append(sky_r[cnum])
-                per_slice["sky_i"][cnum].append(sky_i[cnum])
-
     nbatch_real = len(slices)
     n_data = mesh.shape["data"] if mesh is not None else 1
     n_bl = mesh.shape["bl"] if mesh is not None else 1
     nbatch = -(-nbatch_real // n_data) * n_data
+    have_sky = sky_model is not None
+    fit_chunks, ngrps_pads = _pad_chunks_for_bl(chunks, n_bl)
+
+    def alloc_stacks():
+        return [
+            np.zeros(
+                (nbatch, ngrps_pads[c], chunks[c][1].shape[1], spec.nfreqs),
+                dtype=spec.dtype,
+            )
+            for c in range(nchunks)
+        ]
+
+    # Per-slice extraction stays on the HOST and writes DIRECTLY into
+    # preallocated padded stacks (FitSpec.pack_data_into): the previous
+    # per-slice lists + np.stack + zero-pad cost three full-cube host
+    # copy passes — measured as ~half of an 11-minute extraction stage at
+    # full-HERA 8-poltime scale — and preallocation gives group padding
+    # and dummy batch rows (zero data, zero weights: no loss, no
+    # gradient, slice freezes immediately — as before) for free. The
+    # stacks upload to the device ONCE further down; uploading per slice
+    # and stacking on device would transiently hold TWO copies of the
+    # cube in HBM. Coefficient warm starts, priors and SNR reweighting
+    # run AFTER the single upload, batched over slices.
+    data_r_b = alloc_stacks()
+    data_i_b = alloc_stacks()
+    wgts_b = alloc_stacks()
+    sky_r_h = alloc_stacks() if have_sky else []
+    sky_i_h = alloc_stacks() if have_sky else []
+    g_r_l, g_i_l = [], []
+    for b, (polnum, pol, time_index, time, rms) in enumerate(slices):
+        spec.pack_data_into(
+            uvdata, pol, time, data_r_b, data_i_b, wgts_b, b,
+            data_scale_factor=rms, weights=weights,
+            nsamples_in_weights=nsamples_in_weights,
+        )
+        if have_sky:
+            # sky weights are discarded (out_w=None skips them)
+            spec.pack_data_into(
+                sky_model, pol, time, sky_r_h, sky_i_h, None, b,
+                data_scale_factor=rms,
+            )
+        g_r, g_i = spec.pack_gains(gains, pol, time)
+        g_r_l.append(g_r)
+        g_i_l.append(g_i)
 
     def stack(items):
-        # HOST stack (see the packing note above): one contiguous array
-        # per chunk tensor, uploaded exactly once further down
+        # gains are small; dummy batch rows repeat the last slice's
+        # (their zero weights keep them inert)
         out = np.stack([np.asarray(x) for x in items])
         if out.shape[0] < nbatch:
-            # zero-weight dummy slices: repeat structure, contribute nothing
             reps = np.repeat(out[-1:], nbatch - out.shape[0], axis=0)
             out = np.concatenate([out, reps], axis=0)
         return out
 
-    g_r_b = stack(per_slice["g_r"])
-    g_i_b = stack(per_slice["g_i"])
-    data_r_b, data_i_b, wgts_b, sky_r_h, sky_i_h = [], [], [], [], []
-    fit_chunks, ngrps_pads = _pad_chunks_for_bl(chunks, n_bl)
+    g_r_b = stack(g_r_l)
+    g_i_b = stack(g_i_l)
+    del g_r_l, g_i_l
     for cnum in range(nchunks):
-        ngrps_pad = ngrps_pads[cnum]
-        data_r_b.append(_pad_axis_np(stack(per_slice["data_r"][cnum]), 1, ngrps_pad))
-        data_i_b.append(_pad_axis_np(stack(per_slice["data_i"][cnum]), 1, ngrps_pad))
-        w = _pad_axis_np(stack(per_slice["wgts"][cnum]), 1, ngrps_pad)
-        # zero the weights of dummy batch rows so they contribute no loss
-        if nbatch > nbatch_real:
-            w = w.copy()
-            w[nbatch_real:] = 0.0
+        w = wgts_b[cnum]
         if not use_pallas:
             w = _compress_freq_invariant_wgts(w)
         if wgts_precision == "bfloat16" and w.shape[-1] > 1:
@@ -1481,11 +1483,7 @@ def _calibrate_time_parallel(
             # the single-chip budget (freq-invariant weights already
             # compress to a trailing-1 plane above and stay f32)
             w = w.astype(jnp.bfloat16)
-        wgts_b.append(w)
-        if have_sky:
-            sky_r_h.append(_pad_axis_np(stack(per_slice["sky_r"][cnum]), 1, ngrps_pad))
-            sky_i_h.append(_pad_axis_np(stack(per_slice["sky_i"][cnum]), 1, ngrps_pad))
-    del per_slice
+        wgts_b[cnum] = w
 
     if mesh is not None:
         from .parallel.mesh import fit_shardings

@@ -567,6 +567,149 @@ class FitSpec:
         data_i = [jnp.asarray(d) for d in data_i]
         return data_r, data_i, wgts
 
+    def pack_data_into(
+        self,
+        visdata,
+        polarization,
+        time,
+        out_r,
+        out_i,
+        out_w,
+        slot,
+        data_scale_factor=1.0,
+        weights=None,
+        nsamples_in_weights=False,
+    ):
+        """Write one (time, pol) slice DIRECTLY into caller-preallocated
+        per-chunk stacks — ``out_r/out_i/out_w[cnum]`` of shape
+        ``(nbatch, ngrps_pad, nbls, nfreqs)``, filled at ``[slot]``.
+
+        Same extraction semantics as :meth:`pack_data` (conjugation,
+        weights, unit normalization), but with no per-slice temporaries
+        beyond the row gathers: the multi-slice drivers previously built
+        per-slice lists, ``np.stack``-ed them and zero-padded the group
+        axis — three full-cube copy passes that dominate the host
+        extraction stage at full-array scale (measured: the stack pass
+        alone costs as much as the extraction). Rows past each chunk's
+        real group count are left untouched (callers preallocate zeros,
+        which is exactly the padding the mesh path needs), as are other
+        batch slots.
+
+        ``out_w=None`` skips weight extraction/normalization entirely —
+        for sky-model packs, whose weights the drivers discard."""
+        tind = self.time_index(time)
+        polnum = polstr2num(polarization, x_orientation=visdata.x_orientation)
+        pind = int(np.nonzero(visdata.polarization_array == polnum)[0][0])
+        pind_c = self._conj_pol_ind(visdata, polnum)
+        # a raw Python-float scale and a COMPLEX division keep the
+        # rounding bit-identical to pack_data (numpy's complex-by-scalar
+        # divide rounds differently from separate real/imag divisions)
+        scale = float(data_scale_factor)
+
+        wpind = wpind_c = None
+        wrows_chunks = None
+        if weights is not None:
+            wpolnum = polstr2num(polarization, x_orientation=weights.x_orientation)
+            wmatch = np.nonzero(weights.polarization_array == wpolnum)[0]
+            if len(wmatch) == 0:
+                from ..io.polarizations import polnum2str
+
+                avail = [
+                    polnum2str(int(p), x_orientation=weights.x_orientation)
+                    for p in weights.polarization_array
+                ]
+                raise ValueError(
+                    f"weights object has no polarization {polarization!r} "
+                    f"(available: {avail}); check the weights file passed "
+                    "via weights/--weights_file"
+                )
+            wpind = int(wmatch[0])
+            wpind_c = self._conj_pol_ind(weights, wpolnum)
+            wrows_chunks = self._weights_rows(weights)
+
+        wgtsum = 0.0
+        w_views = []
+        for cnum, meta in enumerate(self.meta):
+            rows = meta.rows[tind]  # (ngrps, nbls)
+            ngrps = rows.shape[0]
+            cj = meta.conj[..., None]
+            if pind_c == pind or not meta.conj.any():
+                vals = visdata.data_array[rows, 0, :, pind]
+                flg = visdata.flag_array[rows, 0, :, pind]
+                nsmp = (
+                    visdata.nsample_array[rows, 0, :, pind]
+                    if nsamples_in_weights
+                    else None
+                )
+            else:
+                if pind_c < 0:
+                    raise KeyError(
+                        f"conjugate polarization of {polarization} not present "
+                        "(needed to read conjugated cross-hand baselines)"
+                    )
+                vals = np.where(
+                    cj,
+                    visdata.data_array[rows, 0, :, pind_c],
+                    visdata.data_array[rows, 0, :, pind],
+                )
+                flg = np.where(
+                    cj,
+                    visdata.flag_array[rows, 0, :, pind_c],
+                    visdata.flag_array[rows, 0, :, pind],
+                )
+                nsmp = (
+                    np.where(
+                        cj,
+                        visdata.nsample_array[rows, 0, :, pind_c],
+                        visdata.nsample_array[rows, 0, :, pind],
+                    )
+                    if nsamples_in_weights
+                    else None
+                )
+            vr = out_r[cnum][slot, :ngrps]
+            vi = out_i[cnum][slot, :ngrps]
+            vals = vals / scale  # complex divide, as pack_data does
+            np.copyto(vr, vals.real, casting="unsafe")
+            np.copyto(vi, vals.imag, casting="unsafe")
+            # conjugated rows negate the imaginary part, in place
+            np.negative(vi, out=vi, where=np.broadcast_to(cj, vi.shape))
+            if out_w is None:
+                continue
+            w = out_w[cnum][slot, :ngrps]
+            if weights is None:
+                np.copyto(w, ~flg, casting="unsafe")
+            else:
+                wrows = wrows_chunks[cnum][tind]
+                if wpind_c == wpind or not meta.conj.any():
+                    np.copyto(
+                        w, weights.weights_array[wrows, 0, :, wpind],
+                        casting="unsafe",
+                    )
+                else:
+                    if wpind_c < 0:
+                        raise KeyError(
+                            f"conjugate polarization of {polarization} not "
+                            "present in weights"
+                        )
+                    np.copyto(
+                        w,
+                        np.where(
+                            cj,
+                            weights.weights_array[wrows, 0, :, wpind_c],
+                            weights.weights_array[wrows, 0, :, wpind],
+                        ),
+                        casting="unsafe",
+                    )
+                w *= ~flg
+            if nsamples_in_weights:
+                w *= nsmp
+            w *= meta.valid[..., None]  # zero-weight padding entries
+            # f32 pairwise sum, matching pack_data's normalization exactly
+            wgtsum += float(np.sum(w))
+            w_views.append(w)
+        for w in w_views:
+            np.divide(w, wgtsum, out=w)
+
     def pack_gains(self, caldata, polarization, time):
         """(Nants, Nfreqs) real/imag gain tensors for one (time, pol)
         (reference tensorize_gains, calibration.py:369-399)."""
