@@ -407,32 +407,45 @@ class VisData:
             obj.nsample_array = obj.nsample_array[..., pinds]
         mask = np.ones(obj.Nblts, dtype=bool)
         if bls is not None:
-            keep = set()
-            for bl in bls:
-                keep.add((bl[0], bl[1]))
-            pair_mask = np.zeros(obj.Nblts, dtype=bool)
-            for i, (a1, a2) in enumerate(zip(obj.ant_1_array, obj.ant_2_array)):
-                if (a1, a2) in keep or (a2, a1) in keep:
-                    pair_mask[i] = True
-            mask &= pair_mask
+            bls = list(bls)
+            if len(bls) == 0:
+                mask[:] = False
+            else:
+                # vectorized pair membership (both orientations) via packed
+                # integer keys — the previous per-blt Python loop cost
+                # seconds at full-HERA blt counts
+                aps = np.asarray([(bl[0], bl[1]) for bl in bls], dtype=np.int64)
+                a1v = np.asarray(obj.ant_1_array, dtype=np.int64)
+                a2v = np.asarray(obj.ant_2_array, dtype=np.int64)
+                M = int(max(a1v.max(initial=0), a2v.max(initial=0),
+                            aps.max(initial=0))) + 1
+                keys = np.unique(np.concatenate(
+                    [aps[:, 0] * M + aps[:, 1], aps[:, 1] * M + aps[:, 0]]
+                ))
+                mask &= np.isin(a1v * M + a2v, keys)
         if times is not None:
             tmask = np.zeros(obj.Nblts, dtype=bool)
             for t in np.atleast_1d(times):
                 tmask |= np.isclose(obj.time_array, t, rtol=0.0, atol=1e-7)
             mask &= tmask
-        idx = np.nonzero(mask)[0]
-        for name in (
-            "ant_1_array",
-            "ant_2_array",
-            "time_array",
-            "lst_array",
-            "integration_time",
-        ):
-            setattr(obj, name, getattr(obj, name)[idx])
-        obj.uvw_array = obj.uvw_array[idx]
-        obj.data_array = obj.data_array[idx]
-        obj.flag_array = obj.flag_array[idx]
-        obj.nsample_array = obj.nsample_array[idx]
+        if not mask.all():
+            # all-True masks (e.g. selecting every cross baseline of an
+            # autos-free dataset) skip the reindex: each fancy index below
+            # is a full-cube copy pass (~10 GiB x4 at full-HERA many-times
+            # scale)
+            idx = np.nonzero(mask)[0]
+            for name in (
+                "ant_1_array",
+                "ant_2_array",
+                "time_array",
+                "lst_array",
+                "integration_time",
+            ):
+                setattr(obj, name, getattr(obj, name)[idx])
+            obj.uvw_array = obj.uvw_array[idx]
+            obj.data_array = obj.data_array[idx]
+            obj.flag_array = obj.flag_array[idx]
+            obj.nsample_array = obj.nsample_array[idx]
         obj._sync_metadata()
         if not inplace:
             return obj
