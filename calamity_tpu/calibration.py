@@ -348,7 +348,16 @@ def calibrate_and_model_tensor(
             f"{datetime.datetime.now()} Sky model is None. Initializing from data...\n",
             verbose=verbose,
         )
-        sky_model = cal_utils.apply_gains(uvdata, gains)
+        if not np.any(gains.flag_array) and np.all(gains.gain_array == 1.0):
+            # identity gains (the blind-self-cal default): the initialized
+            # sky model IS the data — ALIAS it instead of copying ~10 GiB,
+            # and the drivers below reuse the already-packed/uploaded data
+            # tensors instead of packing and uploading a second identical
+            # cube (at full-HERA 8-poltime scale the sky upload through
+            # the relay was minutes of the warm-start stage)
+            sky_model = uvdata
+        else:
+            sky_model = cal_utils.apply_gains(uvdata, gains)
     elif sky_model is not None:
         sky_model = sky_model.select(inplace=False, bls=list(antpairs_data))
 
@@ -532,7 +541,10 @@ def calibrate_and_model_tensor(
                 weights=weights,
                 nsamples_in_weights=nsamples_in_weights,
             )
-            if sky_model is not None:
+            if sky_model is uvdata:
+                # identity-gains alias: the sky tensors ARE the data tensors
+                sky_r, sky_i = data_r, data_i
+            elif sky_model is not None:
                 sky_r, sky_i, _ = spec.pack_data(
                     sky_model, pol, time, data_scale_factor=rmsdata, weights=weights
                 )
@@ -546,8 +558,8 @@ def calibrate_and_model_tensor(
                     f"{datetime.datetime.now()} Least-squares initializing foreground coeffs...\n",
                     verbose=verbose,
                 )
-                init_r = sky_r if sky_model is not None else data_r
-                init_i = sky_i if sky_model is not None else data_i
+                init_r = sky_r if sky_r is not None else data_r
+                init_i = sky_i if sky_i is not None else data_i
                 fg_r = tuple(spec.init_coeffs(init_r, wgts))
                 fg_i = tuple(spec.init_coeffs(init_i, wgts))
                 if use_model_snr_weights:
@@ -836,12 +848,13 @@ def _calibrate_time_scan(
                 nsamples_in_weights=nsamples_in_weights,
             )
             w_v = [wgts_s[c][slot, : ngr[c]] for c in range(nchunks)]
-            if sky_model is not None:
+            if sky_model is not None and sky_model is not uvdata:
                 sky_r, sky_i, _ = spec.pack_data(
                     sky_model, pol, time, data_scale_factor=rms, weights=weights,
                     as_numpy=True,
                 )
             else:
+                # no sky, or the identity-gains alias (sky == data)
                 sky_r = [data_r_s[c][slot, : ngr[c]] for c in range(nchunks)]
                 sky_i = [data_i_s[c][slot, : ngr[c]] for c in range(nchunks)]
             if slot == 0:
@@ -1415,7 +1428,9 @@ def _calibrate_time_parallel(
     n_data = mesh.shape["data"] if mesh is not None else 1
     n_bl = mesh.shape["bl"] if mesh is not None else 1
     nbatch = -(-nbatch_real // n_data) * n_data
-    have_sky = sky_model is not None
+    # the identity-gains alias (sky_model is uvdata) needs no sky pack:
+    # warm starts and priors read the already-uploaded data cubes
+    have_sky = sky_model is not None and sky_model is not uvdata
     fit_chunks, ngrps_pads = _pad_chunks_for_bl(chunks, n_bl)
 
     def alloc_stacks():
