@@ -1629,6 +1629,24 @@ def _calibrate_time_parallel(
         # keep their sharding only when aligned to it
         blk = _loss_block_size(ngrps, gmax, loss_block_ngrps,
                                multiple_of=n_bl) or ngrps
+        if not have_sky and not use_model_snr_weights:
+            # init source == the resident data cubes: ONE jitted blocked
+            # program (ops.lstsq.blocked_init_from_data) — no eager device
+            # slices (execution-caching relays pin those block copies in
+            # HBM; RESOURCE_EXHAUSTED observed at full scale) and no
+            # second upload of an init source
+            from .ops.lstsq import blocked_init_from_data
+
+            cr, ci, wsum_c, pr_c, pi_c = blocked_init_from_data(
+                chol, active, comps_dev,
+                data_r_b[cnum], data_i_b[cnum], wgts_b[cnum], blk=int(blk),
+            )
+            wsum_b = wsum_b + wsum_c
+            prior_r_b = prior_r_b + pr_c
+            prior_i_b = prior_i_b + pi_c
+            fg_r_b.append(put_coeffs(cr))
+            fg_i_b.append(put_coeffs(ci))
+            continue
         new_w_blocks = [] if use_model_snr_weights else None
         cr_blocks, ci_blocks = [], []
         for g0 in range(0, ngrps, blk):

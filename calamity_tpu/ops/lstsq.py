@@ -113,6 +113,64 @@ def init_coeffs_from_cholesky_batched(chol, active, comps, data_r, data_i, wgts)
     )(data_r, data_i, wgts)
 
 
+@partial(jax.jit, static_argnames=("blk",))
+def blocked_init_from_data(chol, active, comps, data_r, data_i, wgts, blk):
+    """Batched warm-start init + prior/weight sums over group blocks,
+    entirely inside ONE jit.
+
+    The init source is the already-uploaded data cube itself (the
+    identity-gains sky alias, or no sky model): a host-side block loop
+    would either re-upload the cube (doubling relay transfer volume) or
+    eagerly slice the device cube — and execution-caching relays pin
+    those eager block copies in HBM (RESOURCE_EXHAUSTED observed at
+    full-HERA 8-poltime scale). Here lax.scan dynamic-slices the
+    resident cubes inside the compiled program, so the only HBM beyond
+    the operands is one block's transients. Shared / shared-batched
+    chunks slice the operator axis on class boundaries (``blk`` must be
+    a multiple of gmax — _loss_block_size guarantees it).
+
+    Returns (coeffs_r, coeffs_i, wsum, prior_r, prior_i); the sums are
+    per-batch-slice, computed with bf16 weights upcast like the loss."""
+    nbatch, ngrps, nbls, nfreqs = data_r.shape
+    nu = comps.shape[0]
+    nblk = ngrps // blk
+    gmax = ngrps // nu if 1 < nu < ngrps else 1
+
+    def body(carry, i):
+        wsum, pr, pi = carry
+        g0 = i * blk
+        dr = jax.lax.dynamic_slice_in_dim(data_r, g0, blk, axis=1)
+        di = jax.lax.dynamic_slice_in_dim(data_i, g0, blk, axis=1)
+        w = jax.lax.dynamic_slice_in_dim(wgts, g0, blk, axis=1)
+        if w.dtype != dr.dtype:
+            w = w.astype(dr.dtype)
+        if nu == 1:
+            comps_b, chol_b, act_b = comps, chol, active
+        elif nu < ngrps:
+            u0 = g0 // gmax
+            comps_b = jax.lax.dynamic_slice_in_dim(comps, u0, blk // gmax, axis=0)
+            chol_b = jax.lax.dynamic_slice_in_dim(chol, u0, blk // gmax, axis=0)
+            act_b = jax.lax.dynamic_slice_in_dim(active, u0, blk // gmax, axis=0)
+        else:
+            comps_b = jax.lax.dynamic_slice_in_dim(comps, g0, blk, axis=0)
+            chol_b = jax.lax.dynamic_slice_in_dim(chol, g0, blk, axis=0)
+            act_b = jax.lax.dynamic_slice_in_dim(active, g0, blk, axis=0)
+        cr, ci = init_coeffs_from_cholesky_batched(chol_b, act_b, comps_b, dr, di, w)
+        wsum = wsum + jnp.sum(w, axis=(1, 2, 3))
+        pr = pr + jnp.sum(dr * w, axis=(1, 2, 3))
+        pi = pi + jnp.sum(di * w, axis=(1, 2, 3))
+        return (wsum, pr, pi), (cr, ci)
+
+    zero = jnp.zeros((nbatch,), data_r.dtype)
+    (wsum, pr, pi), (crs, cis) = jax.lax.scan(
+        body, (zero, zero, zero), jnp.arange(nblk)
+    )
+    # (nblk, nbatch, blk, nvec) -> (nbatch, ngrps, nvec)
+    cr = jnp.moveaxis(crs, 0, 1).reshape(nbatch, ngrps, crs.shape[-1])
+    ci = jnp.moveaxis(cis, 0, 1).reshape(nbatch, ngrps, cis.shape[-1])
+    return cr, ci, wsum, pr, pi
+
+
 @partial(jax.jit, static_argnames=("ridge",))
 def init_coeffs_chunk(comps, data, wgts, ridge=1e-6):
     """Least-squares coefficients for one chunk.

@@ -680,7 +680,24 @@ class BatchedSegmentPlan:
             in_shardings=_auto_format(),
             out_shardings=_auto_format(),
         )
-        self._compiled = jitted.lower(*args_sds).compile()
+        # AUTO-layout executables must NOT come from the persistent
+        # compilation cache (JAX_COMPILATION_CACHE_DIR): deserialized
+        # executables report WRONG input_formats for some bf16 operands
+        # (observed at full scale: reported (0,2,1,3)-major vs the
+        # executable's true (2,1,0,3) for 4 of 9 weight cubes), so
+        # put_entries converts to the reported-but-wrong layout — the
+        # runtime then either injects per-call conversion copies (HBM
+        # RESOURCE_EXHAUSTED on a 13-GiB-budget program) or rejects the
+        # call with a layout-mismatch ValueError. Freshly compiled
+        # executables report correctly; trade the cache hit for
+        # correctness here (the in-process plan cache still avoids
+        # recompiles within a run).
+        prev_cache = jax.config.jax_enable_compilation_cache
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+            self._compiled = jitted.lower(*args_sds).compile()
+        finally:
+            jax.config.update("jax_enable_compilation_cache", prev_cache)
         self.entry_formats = self._compiled.input_formats[0]
         self.out_formats = self._compiled.output_formats
 

@@ -861,6 +861,48 @@ def test_patience_freezes_plateaued_slice():
     assert np.float32(np.asarray(res.final_loss)[1]) == np.nanmin(hist[:, 1])
 
 
+def test_blocked_init_from_data_matches_unblocked():
+    """ops.lstsq.blocked_init_from_data (one jitted scan over group
+    blocks, slicing the resident cubes — the no-sky warm-start path) must
+    reproduce the single-call batched init and the prior/weight sums, for
+    dense, plain-shared and shared-batched operator layouts."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.ops.lstsq import (
+        blocked_init_from_data,
+        gram_cholesky_chunk,
+        init_coeffs_from_cholesky_batched,
+    )
+
+    rng = np.random.default_rng(7)
+    nbatch, nbls, nf, nv = 2, 3, 16, 4
+    for nu, ngrps in ((12, 12), (1, 12), (3, 12)):
+        comps = rng.standard_normal((nu, nbls, nf, nv)).astype(np.float32)
+        dr = rng.standard_normal((nbatch, ngrps, nbls, nf)).astype(np.float32)
+        di = rng.standard_normal((nbatch, ngrps, nbls, nf)).astype(np.float32)
+        w = np.abs(rng.standard_normal((nbatch, ngrps, nbls, nf))).astype(np.float32)
+        chol, active = gram_cholesky_chunk(jnp.asarray(comps))
+        cr0, ci0 = init_coeffs_from_cholesky_batched(
+            chol, active, jnp.asarray(comps), jnp.asarray(dr), jnp.asarray(di),
+            jnp.asarray(w),
+        )
+        cr, ci, wsum, pr, pi = blocked_init_from_data(
+            chol, active, jnp.asarray(comps), jnp.asarray(dr), jnp.asarray(di),
+            jnp.asarray(w), blk=4,
+        )
+        assert np.allclose(np.asarray(cr), np.asarray(cr0), rtol=1e-5, atol=1e-6), nu
+        assert np.allclose(np.asarray(ci), np.asarray(ci0), rtol=1e-5, atol=1e-6), nu
+        assert np.allclose(np.asarray(wsum), w.sum(axis=(1, 2, 3)), rtol=1e-5)
+        assert np.allclose(np.asarray(pr), (dr * w).sum(axis=(1, 2, 3)), rtol=1e-4)
+        assert np.allclose(np.asarray(pi), (di * w).sum(axis=(1, 2, 3)), rtol=1e-4)
+        # bf16 weights upcast inside (the wgts_precision="bfloat16" path)
+        cr_lo, *_ = blocked_init_from_data(
+            chol, active, jnp.asarray(comps), jnp.asarray(dr), jnp.asarray(di),
+            jnp.asarray(w).astype(jnp.bfloat16), blk=4,
+        )
+        assert np.allclose(np.asarray(cr_lo), np.asarray(cr0), rtol=3e-2, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_scale_default_stopping_reaches_same_floor(golomb_visdata):
     """The scale entry points (hera_full_demo, scale_demo, hera_core_demo,
