@@ -622,7 +622,25 @@ def _format_of(x):
 
 
 def _put_format(x, fmt):
-    return x if _format_of(x) == fmt else jax.device_put(x, fmt)
+    if _format_of(x) == fmt:
+        return x
+    y = jax.device_put(x, fmt)
+    if _format_of(y) != fmt:
+        # the transfer path did not honor the requested layout (observed
+        # on relay-attached TPU backends for compiler-chosen custom bf16
+        # layouts — which is why BatchedSegmentPlan pins bf16 entries to
+        # the default layout). Executing anyway either fails the runtime
+        # layout check or silently computes on a mis-laid-out cube; a
+        # client-side compiled relayout was observed to SCRAMBLE values
+        # through the relay. Fail loudly instead.
+        raise RuntimeError(
+            f"device_put did not honor the planned entry layout for "
+            f"{getattr(x, 'dtype', '?')}{getattr(x, 'shape', '?')}: got "
+            f"{_format_of(y)}, wanted {fmt}. This backend cannot realize "
+            "the layout client-side; if it is not bfloat16 (already "
+            "pinned to default), extend the plan's pinned-layout rule."
+        )
+    return y
 
 
 def _aval_key(tree):
@@ -674,30 +692,37 @@ class BatchedSegmentPlan:
         self.seg_cap = int(seg_cap)
         self._args_sds = args_sds
         fn = partial(_segment_fn, self.cfg, self.seg_cap)
+        # bfloat16 ENTRY leaves are pinned to the default (row-major)
+        # layout instead of AUTO: relay-attached TPU backends cannot
+        # realize some compiler-chosen custom bf16 layouts on the client
+        # side — device_put returns a differently-laid-out array (the
+        # runtime then rejects the call), and a compiled identity
+        # relayout was observed to SCRAMBLE the cube's contents (a
+        # full-scale flagged run started at 28x the correct chi-square).
+        # With default-layout bf16 entries the program does any internal
+        # relayout itself, where XLA computes it correctly; f32 leaves
+        # keep AUTO (the HBM lever the plan exists for — measured 22.5
+        # -> 13.3 GiB at full scale).
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev_fmt = SingleDeviceSharding(jax.devices()[0])
+        auto = _auto_format()
+
+        def in_fmt(leaf):
+            if jnp.dtype(leaf.dtype) == jnp.bfloat16:
+                return Format(
+                    Layout(tuple(range(leaf.ndim - 1, -1, -1))), dev_fmt
+                )
+            return auto
+
         jitted = jax.jit(
             fn,
             donate_argnums=(8, 9, 10, 11, 12, 13, 14, 15),
-            in_shardings=_auto_format(),
+            in_shardings=jax.tree_util.tree_map(in_fmt, args_sds),
             out_shardings=_auto_format(),
         )
-        # AUTO-layout executables must NOT come from the persistent
-        # compilation cache (JAX_COMPILATION_CACHE_DIR): deserialized
-        # executables report WRONG input_formats for some bf16 operands
-        # (observed at full scale: reported (0,2,1,3)-major vs the
-        # executable's true (2,1,0,3) for 4 of 9 weight cubes), so
-        # put_entries converts to the reported-but-wrong layout — the
-        # runtime then either injects per-call conversion copies (HBM
-        # RESOURCE_EXHAUSTED on a 13-GiB-budget program) or rejects the
-        # call with a layout-mismatch ValueError. Freshly compiled
-        # executables report correctly; trade the cache hit for
-        # correctness here (the in-process plan cache still avoids
-        # recompiles within a run).
-        prev_cache = jax.config.jax_enable_compilation_cache
-        try:
-            jax.config.update("jax_enable_compilation_cache", False)
-            self._compiled = jitted.lower(*args_sds).compile()
-        finally:
-            jax.config.update("jax_enable_compilation_cache", prev_cache)
+        self._compiled = jitted.lower(*args_sds).compile()
         self.entry_formats = self._compiled.input_formats[0]
         self.out_formats = self._compiled.output_formats
 
