@@ -622,10 +622,15 @@ def _format_of(x):
 
 
 def _put_format(x, fmt):
+    if fmt is None or getattr(fmt, "layout", None) is None:
+        # unconstrained entry (input_formats reports layout=None for some
+        # small/scalar parameters): nothing to realize
+        return x
     if _format_of(x) == fmt:
         return x
     y = jax.device_put(x, fmt)
-    if _format_of(y) != fmt:
+    got = _format_of(y)
+    if got != fmt and getattr(got, "layout", None) != fmt.layout:
         # the transfer path did not honor the requested layout (observed
         # on relay-attached TPU backends for compiler-chosen custom bf16
         # layouts — which is why BatchedSegmentPlan pins bf16 entries to
@@ -692,47 +697,118 @@ class BatchedSegmentPlan:
         self.seg_cap = int(seg_cap)
         self._args_sds = args_sds
         fn = partial(_segment_fn, self.cfg, self.seg_cap)
-        # bfloat16 ENTRY leaves are pinned to the default (row-major)
-        # layout instead of AUTO: relay-attached TPU backends cannot
-        # realize some compiler-chosen custom bf16 layouts on the client
-        # side — device_put returns a differently-laid-out array (the
-        # runtime then rejects the call), and a compiled identity
-        # relayout was observed to SCRAMBLE the cube's contents (a
-        # full-scale flagged run started at 28x the correct chi-square).
-        # With default-layout bf16 entries the program does any internal
-        # relayout itself, where XLA computes it correctly; f32 leaves
-        # keep AUTO (the HBM lever the plan exists for — measured 22.5
-        # -> 13.3 GiB at full scale).
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
-
-        dev_fmt = SingleDeviceSharding(jax.devices()[0])
-        auto = _auto_format()
-
-        def in_fmt(leaf):
-            if jnp.dtype(leaf.dtype) == jnp.bfloat16:
-                return Format(
-                    Layout(tuple(range(leaf.ndim - 1, -1, -1))), dev_fmt
-                )
-            return auto
-
+        # Full-AUTO entry layouts: constraining ANY entry (one slot or
+        # all bf16 leaves — both tried) effectively disables the
+        # auto-layout pass and the full-scale compile balloons to 43-47
+        # GiB of loop-pinned layout copies (vs 13.3 GiB all-AUTO).
+        # input_formats can MISREPORT the executable's true entry layout
+        # for some bf16 leaves (observed: reported (0,2,1,3) vs required
+        # (2,1,0,3) for 4 of 9 weight cubes at full scale); `run` heals
+        # that from the runtime layout check's authoritative error — see
+        # _apply_required_layouts.
         jitted = jax.jit(
             fn,
             donate_argnums=(8, 9, 10, 11, 12, 13, 14, 15),
-            in_shardings=jax.tree_util.tree_map(in_fmt, args_sds),
+            in_shardings=_auto_format(),
             out_shardings=_auto_format(),
         )
         self._compiled = jitted.lower(*args_sds).compile()
-        self.entry_formats = self._compiled.input_formats[0]
+        self.entry_formats = list(self._compiled.input_formats[0])
         self.out_formats = self._compiled.output_formats
+
+    # positional parameter names of _segment_fn after the (cfg, seg_cap)
+    # partial — used to resolve the runtime layout check's argument names
+    _ARG_NAMES = (
+        "chunks", "data_r", "data_i", "wgts", "fg_r_const", "fg_i_const",
+        "prior_r", "prior_i", "params", "opt_state", "prev", "frozen",
+        "nsteps_slice", "best_loss", "best_params", "since_best", "step0",
+        "seg_len", "warmup_offset",
+    )
+
+    def _apply_required_layouts(self, err_msg, args):
+        """Heal an input-layout mismatch using the runtime check's error.
+
+        ``compiled.input_formats`` can misreport the executable's true
+        entry layouts for some bf16 leaves; the pre-execution layout
+        check's ValueError lists, per argument, the REQUIRED layout — the
+        only authoritative source. Parse it, device_put the named leaves
+        into the required layouts (realizable: verified value-exact on
+        this backend), and patch entry_formats so every later segment
+        call converts correctly up front. Returns the corrected args, or
+        None if nothing could be parsed."""
+        import re
+
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        pat = re.compile(
+            r"Argument (\w+)((?:\[\d+\])*)[^:]*:\s*\n"
+            r"\s*Passed layout:[^\n]*\n"
+            r"\s*Required layout: ([^\n]*)"
+        )
+        dev_sh = SingleDeviceSharding(jax.devices()[0])
+        args = list(args)
+        formats = self.entry_formats
+        healed = 0
+        for m in pat.finditer(err_msg):
+            name, idx_s, req_line = m.groups()
+            if name not in self._ARG_NAMES:
+                continue
+            ai = self._ARG_NAMES.index(name)
+            idxs = [int(x) for x in re.findall(r"\[(\d+)\]", idx_s)]
+            m2m_m = re.search(r"major_to_minor=\(([\d,\s]*)\)", req_line)
+            if m2m_m is None:
+                continue
+            m2m = tuple(
+                int(x) for x in m2m_m.group(1).replace(" ", "").split(",") if x
+            )
+            tiling = None
+            t_m = re.search(r"tiling=\((.*?)\), sub_byte", req_line)
+            if t_m is not None:
+                tiling = tuple(
+                    tuple(int(x) for x in t.replace(" ", "").split(",") if x)
+                    for t in re.findall(r"\(([^()]*)\)", t_m.group(1))
+                ) or None
+            fmt = Format(Layout(m2m, tiling), dev_sh)
+
+            def patch(tree, path):
+                if not path:
+                    return fmt
+                sub = list(tree)
+                sub[path[0]] = patch(sub[path[0]], path[1:])
+                return tuple(sub)
+
+            def patch_arr(tree, path):
+                if not path:
+                    return jax.device_put(tree, fmt)
+                sub = list(tree)
+                sub[path[0]] = patch_arr(sub[path[0]], path[1:])
+                return tuple(sub)
+
+            args[ai] = patch_arr(args[ai], idxs)
+            formats[ai] = patch(formats[ai], idxs)
+            healed += 1
+        return tuple(args) if healed else None
 
     def run(self, seg_len, warmup, args):
         args = args + (
             jnp.asarray(int(seg_len), jnp.int32),
             jnp.asarray(1 if warmup else 0, jnp.int32),
         )
-        args = jax.tree_util.tree_map(_put_format, args, self.entry_formats)
-        return self._compiled(*args)
+        args = jax.tree_util.tree_map(
+            _put_format, args, tuple(self.entry_formats)
+        )
+        try:
+            return self._compiled(*args)
+        except ValueError as e:
+            if "compiled for input layouts" not in str(e):
+                raise
+            fixed = self._apply_required_layouts(str(e), args)
+            if fixed is None:
+                raise
+            # the check fired BEFORE execution, so donated buffers are
+            # intact; retry once with the corrected layouts
+            return self._compiled(*fixed)
 
     def put_entries(self, index, tree):
         """device_put ``tree`` (matching entry slot ``index`` of the
