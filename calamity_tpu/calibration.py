@@ -324,15 +324,25 @@ def calibrate_and_model_tensor(
             "(the fused kernel reads float32 weight tiles)"
         )
 
+    def _mark(key, t0):
+        # per-stage wall-clock for the campaign tables (docs/DESIGN.md
+        # "Measured preamble"); accumulates so repeated stages sum
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (_time.time() - t0)
+        return _time.time()
+
+    _t_st = _time.time()
     antpairs_data = uvdata.get_antpairs()
     if not include_autos:
         antpairs_data = [ap for ap in antpairs_data if ap[0] != ap[1]]
     uvdata = uvdata.select(inplace=False, bls=list(antpairs_data))
+    _t_st = _mark("select_s", _t_st)
 
     resid = uvdata.copy()
     model = uvdata.copy()
     model.data_array[:] = 0.0
     model.flag_array[:] = False
+    _t_st = _mark("model_resid_copies_s", _t_st)
 
     if gains is None:
         echo(
@@ -342,6 +352,7 @@ def calibrate_and_model_tensor(
         gains = cal_utils.blank_uvcal_from_uvdata(uvdata)
     else:
         gains = gains.copy()
+    _t_st = _mark("gains_init_s", _t_st)
 
     if sky_model is None and model_regularization is not None:
         echo(
@@ -360,6 +371,7 @@ def calibrate_and_model_tensor(
             sky_model = cal_utils.apply_gains(uvdata, gains)
     elif sky_model is not None:
         sky_model = sky_model.select(inplace=False, bls=list(antpairs_data))
+    _t_st = _mark("sky_init_s", _t_st)
 
     ants_map = {int(ant): i for i, ant in enumerate(gains.ant_array)}
     echo(f"{datetime.datetime.now()} Packing foreground modeling tensors...\n", verbose=verbose)
@@ -1032,11 +1044,27 @@ def _calibrate_time_scan(
             use_auto_plan = (
                 mesh is None and not use_pallas and auto_layouts_enabled()
             )
+            from .parallel.batched import host_batched_losses, loss_guard_factor
+
+            _host_chunks_cache = []
+
+            def _host_chunks():
+                # one fetch of the f32 basis tensors for the whole scan —
+                # the step-0 guard's host evaluation reuses them for every
+                # time (and for the bf16 phase: quantization is far inside
+                # the guard's tolerance factor)
+                if not _host_chunks_cache:
+                    _host_chunks_cache.append([
+                        (np.asarray(c), np.asarray(a0), np.asarray(a1))
+                        for (c, a0, a1) in fit_chunks
+                    ])
+                return _host_chunks_cache[0]
 
             def sds1(x):
                 return jax.ShapeDtypeStruct((1,) + tuple(x.shape[1:]), x.dtype)
 
-            def fit_time(slot, chs, carry_b, ck_t, opt_state0=None):
+            def fit_time(slot, chs, carry_b, ck_t, opt_state0=None,
+                         carry_host=None):
                 plan = None
                 if use_auto_plan:
                     # cached across times/phases: same cfg + shapes -> the
@@ -1056,21 +1084,45 @@ def _calibrate_time_scan(
                         np.zeros((1,), dtype=spec.dtype),
                     )
 
-                def up(tup, idx):
-                    # upload ONE time slice from the host stacks; under a
-                    # plan, straight into the executable's entry layout
-                    views = tuple(
+                def views_of(tup):
+                    return tuple(
                         np.ascontiguousarray(x[slot : slot + 1]) for x in tup
                     )
+
+                dr_h = views_of(data_r_s)
+                di_h = views_of(data_i_s)
+                w_h = views_of(wgts_s)
+
+                def up(views, idx):
+                    # upload ONE time slice from the host stacks; under a
+                    # plan, straight into the executable's entry layout
                     if mesh is not None:
                         return tuple(jax.device_put(v, sh_data) for v in views)
                     if plan is not None:
                         return plan.put_entries(idx, views)
                     return tuple(jnp.asarray(v) for v in views)
 
-                dr = up(data_r_s, 1)
-                di = up(data_i_s, 2)
-                w = up(wgts_s, 3)
+                expected0 = None
+                guard_f = loss_guard_factor()
+                if plan is not None and carry_host is not None and guard_f is not None:
+                    # this path uploads host cubes STRAIGHT into the plan's
+                    # entry layouts (never a pristine default-layout device
+                    # copy), so the guard's reference value comes from the
+                    # host arrays themselves
+                    expected0 = host_batched_losses(
+                        np.asarray(carry_host[0])[None],
+                        np.asarray(carry_host[1])[None],
+                        [np.asarray(f)[None] for f in carry_host[2]],
+                        [np.asarray(f)[None] for f in carry_host[3]],
+                        _host_chunks(), dr_h, di_h, w_h,
+                        prior_r=priors_r_np[slot : slot + 1],
+                        prior_i=priors_i_np[slot : slot + 1],
+                        regularization=cfg_seg.regularization,
+                    )
+
+                dr = up(dr_h, 1)
+                di = up(di_h, 2)
+                w = up(w_h, 3)
                 g_rb, g_ib, f_rb, f_ib = carry_b
                 if plan is not None:
                     chs = plan.put_entries(0, tuple(chs))
@@ -1087,6 +1139,7 @@ def _calibrate_time_scan(
                     g_rb, g_ib, tuple(f_rb), tuple(f_ib), pr, pi,
                     ck_t, ck_every_eff, resume, verbose, opt_state0,
                     plan=plan, steps_per_execution=steps_per_execution,
+                    expected_loss0=expected0,
                 )
 
             def res_row(res):
@@ -1099,7 +1152,7 @@ def _calibrate_time_scan(
                 hist = np.asarray(res.loss_history, dtype=np.float32)[:nst, 0]
                 return hist, nst
 
-            def run_time(slot, carry_b, ck_t):
+            def run_time(slot, carry_b, ck_t, carry_host=None):
                 if comps_precision == "mixed":
                     ck1 = _os.path.join(ck_t, "phase_bf16") if ck_t else None
                     ck2 = _os.path.join(ck_t, "phase_f32") if ck_t else None
@@ -1118,12 +1171,14 @@ def _calibrate_time_scan(
                             ns1 = 0
                         res = fit_time(slot, fit_chunks, carry_b, ck2)
                     else:
-                        res1 = fit_time(slot, fit_chunks_lo, carry_b, ck1)
+                        res1 = fit_time(slot, fit_chunks_lo, carry_b, ck1,
+                                        carry_host=carry_host)
                         hist1, ns1 = res_row(res1)
                         if ck_t is not None:
                             save_phase_meta(ck_t, history=hist1, nsteps=ns1)
                         # optimizer state carries across the precision
-                        # switch (docs/BF16_COMPS.md)
+                        # switch (docs/BF16_COMPS.md); the guard covered
+                        # phase 1 — phase 2's losses chain from its state
                         res = fit_time(
                             slot, fit_chunks,
                             (res1.g_r, res1.g_i, tuple(res1.fg_r),
@@ -1135,7 +1190,8 @@ def _calibrate_time_scan(
                         (res.g_r, res.g_i, tuple(res.fg_r), tuple(res.fg_i)),
                         np.concatenate([hist1, hist2]), ns1 + ns2,
                     )
-                res = fit_time(slot, fit_chunks, carry_b, ck_t)
+                res = fit_time(slot, fit_chunks, carry_b, ck_t,
+                               carry_host=carry_host)
                 hist, nst = res_row(res)
                 return (
                     (res.g_r, res.g_i, tuple(res.fg_r), tuple(res.fg_i)),
@@ -1145,17 +1201,24 @@ def _calibrate_time_scan(
             carry_b = (
                 to_batched(carry) if start_slot < len(usable) else None
             )
+            # host copy of the carry entering each time's fit — the step-0
+            # guard's reference evaluation input. Fresh starts and resumes
+            # both enter with a host-resident carry; after each time the
+            # loop's out_host fetch provides the next one for free
+            carry_host = carry if start_slot < len(usable) else None
             for slot in range(start_slot, len(usable)):
                 ck_t = (
                     _os.path.join(ck, f"time_{slot}") if ck is not None else None
                 )
-                carry_b, row, nst = run_time(slot, carry_b, ck_t)
+                carry_b, row, nst = run_time(slot, carry_b, ck_t,
+                                             carry_host=carry_host)
                 # host fetch (whole arrays — plan outputs must not be
                 # eagerly sliced on relay backends; see
                 # batched_fit_checkpointed's host-side rule)
                 out_host = jax.tree_util.tree_map(
                     lambda x: np.asarray(x)[0], carry_b
                 )
+                carry_host = out_host
                 outputs.append((out_host, row, nst))
                 if ck is not None:
                     save_state(
@@ -1453,6 +1516,12 @@ def _calibrate_time_parallel(
     # and stacking on device would transiently hold TWO copies of the
     # cube in HBM. Coefficient warm starts, priors and SNR reweighting
     # run AFTER the single upload, batched over slices.
+    def _tmark(key, t0):
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + (_time.time() - t0)
+        return _time.time()
+
+    _t_tp = _time.time()
     data_r_b = alloc_stacks()
     data_i_b = alloc_stacks()
     wgts_b = alloc_stacks()
@@ -1499,6 +1568,7 @@ def _calibrate_time_parallel(
             # compress to a trailing-1 plane above and stay f32)
             w = w.astype(jnp.bfloat16)
         wgts_b[cnum] = w
+    _t_tp = _tmark("extract_s", _t_tp)
 
     if mesh is not None:
         from .parallel.mesh import fit_shardings
@@ -1542,6 +1612,8 @@ def _calibrate_time_parallel(
         wgts_b = [jnp.asarray(x) for x in wgts_b]
         put_sky = jnp.asarray
         put_coeffs = lambda x: x
+    jax.block_until_ready(wgts_b)  # honest upload_s (transfers are async)
+    _t_tp = _tmark("upload_s", _t_tp)
 
     # ---- device-side warm starts, priors and optional SNR reweighting ----
     # Batched over ALL slices per chunk, sourced from the already-uploaded
@@ -1717,6 +1789,7 @@ def _calibrate_time_parallel(
         prior_i_b = prior_i_b / denom
     if have_sky:
         del sky_r_h, sky_i_h
+    _t_tp = _tmark("warmstart_s", _t_tp)
 
     cfg = FitConfig(
         optimizer=optimizer,
@@ -1744,13 +1817,49 @@ def _calibrate_time_parallel(
     # budget at many-poltime full-array scale (docs/DESIGN.md). The mesh
     # path keeps plain jit (per-device shards are mesh-factor smaller);
     # use_pallas keeps jit so kernel operand layouts stay default.
-    from .parallel.batched import auto_layouts_enabled, make_segment_plan
+    from .parallel.batched import (
+        auto_layouts_enabled,
+        batched_initial_losses,
+        loss_guard_factor,
+        make_segment_plan,
+    )
 
     use_auto_plan = mesh is None and not use_pallas and auto_layouts_enabled()
+    # the step-0 loss guard's independent evaluation needs the PRISTINE
+    # default-layout buffers — valid only before the first plan's
+    # put_entries relayouts them (phase 2 of a mixed schedule re-puts
+    # already-relayouted cubes; its recorded losses chain continuously
+    # from phase 1, which the guard already validated)
+    _buffers_pristine = [True]
 
     def run_batched(chs, gr, gi, fr, fi, opt_state0=None, ckdir=None):
         nonlocal data_r_b, data_i_b, wgts_b
         plan = None
+        expected0 = None
+        if use_auto_plan and _buffers_pristine[0] and loss_guard_factor() is not None:
+            _resuming = False
+            if ckdir is not None and resume:
+                from .solver.checkpoint import latest_checkpoint as _lck
+
+                _resuming = _lck(ckdir) is not None
+            if not _resuming:
+                _t_g = _time.time()
+                expected0 = np.asarray(
+                    batched_initial_losses(
+                        cfg, chs, tuple(data_r_b), tuple(data_i_b),
+                        tuple(wgts_b), gr, gi, tuple(fr), tuple(fi),
+                        prior_r_b, prior_i_b,
+                    ),
+                    dtype=np.float64,
+                )
+                if timings is not None:
+                    timings["loss_guard_s"] = _time.time() - _t_g
+                echo(
+                    f"{datetime.datetime.now()} Step-0 loss guard reference "
+                    f"computed ({_time.time() - _t_g:.1f} s, default-layout "
+                    "jit on pristine buffers)\n",
+                    verbose=verbose,
+                )
         if use_auto_plan:
             echo(
                 f"{datetime.datetime.now()} Compiling auto-layout segment "
@@ -1770,6 +1879,10 @@ def _calibrate_time_parallel(
                 f"({_time.time() - t_plan:.1f} s)\n",
                 verbose=verbose,
             )
+            if timings is not None:
+                timings["plan_compile_s"] = (
+                    timings.get("plan_compile_s", 0.0) + _time.time() - t_plan
+                )
             # move the big constant tensors into the plan's entry layouts
             # ONCE, rebinding the driver references — a lazily-relayouted
             # cube would otherwise live twice (default-layout original +
@@ -1781,6 +1894,8 @@ def _calibrate_time_parallel(
             if freeze_model:
                 fr = plan.put_entries(4, tuple(fr))
                 fi = plan.put_entries(5, tuple(fi))
+            _buffers_pristine[0] = False
+        _t_desc = _time.time()
         if ckdir is not None or plan is not None or steps_per_execution is not None:
             res = batched_fit_checkpointed(
                 cfg, chs, tuple(data_r_b), tuple(data_i_b), tuple(wgts_b),
@@ -1789,6 +1904,7 @@ def _calibrate_time_parallel(
                 int(checkpoint_every) if ckdir is not None else cfg.maxsteps,
                 resume, verbose, opt_state0, plan=plan,
                 steps_per_execution=steps_per_execution,
+                expected_loss0=expected0,
             )
         else:
             res = batched_fit_core(
@@ -1796,6 +1912,10 @@ def _calibrate_time_parallel(
                 gr, gi, tuple(fr), tuple(fi), prior_r_b, prior_i_b, opt_state0,
             )
         n = int(res.nsteps)
+        if timings is not None:
+            timings["descent_s"] = (
+                timings.get("descent_s", 0.0) + _time.time() - _t_desc
+            )
         hist = np.asarray(res.loss_history[:n], dtype=np.float64)  # (n, nbatch)
         ns = (
             np.asarray(res.nsteps_slice)

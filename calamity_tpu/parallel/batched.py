@@ -614,6 +614,157 @@ def auto_layouts_enabled():
     return os.environ.get("CALAMITY_SEGMENT_LAYOUTS", "auto").lower() != "jit"
 
 
+def loss_guard_factor():
+    """Tolerance factor for the step-0 initial-loss cross-check, or None
+    when the guard is disabled (``CALAMITY_LOSS_GUARD=off``).
+
+    The guard exists because a compiled relayout once SCRAMBLED cube
+    contents through a relay-attached backend — a full-scale flagged run
+    started at 28x the correct chi-square and was only caught by a human
+    reading logs (docs/DESIGN.md "The auto-layout entry saga"). Before the
+    first AOT segment executes, the drivers compute the initial per-slice
+    loss through an independent path (a plain default-layout jit on the
+    pristine pre-relayout buffers, or host numpy from the host stacks) and
+    abort if the first recorded loss exceeds it by this factor. The factor
+    (default 4, ``CALAMITY_LOSS_GUARD_FACTOR``) absorbs the one unrecorded
+    warm-up step between the two evaluations (reference calibration.py:693
+    parity) and bf16-vs-f32 basis quantization; a scramble is orders of
+    magnitude."""
+    import os
+
+    if os.environ.get("CALAMITY_LOSS_GUARD", "on").lower() in (
+        "off", "0", "false", "no",
+    ):
+        return None
+    return float(os.environ.get("CALAMITY_LOSS_GUARD_FACTOR", "4.0"))
+
+
+@partial(jax.jit, static_argnums=(0,))
+def batched_initial_losses(cfg: FitConfig, chunks, data_r, data_i, wgts,
+                           g_r, g_i, fg_r, fg_i, prior_r, prior_i):
+    """Per-slice loss at the given parameters — the independent evaluation
+    the step-0 guard compares the first AOT segment's recorded loss
+    against. Plain jit with default entry layouts: call it on the PRISTINE
+    buffers BEFORE BatchedSegmentPlan.put_entries relayouts them (the whole
+    point is not to trust the relayout path). Same blocked evaluation as
+    the descent (loss_block bounds the activation peak at full scale)."""
+    if cfg.regularization == "sum":
+        return batched_chunk_losses_sum_regularized(
+            g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
+            prior_r, prior_i,
+            loss_block=cfg.loss_block, loss_block_unit=cfg.loss_block_unit,
+        )
+    return batched_chunk_losses(
+        g_r, g_i, fg_r, fg_i, chunks, data_r, data_i, wgts,
+        use_pallas=False, remat=cfg.remat,
+        loss_block=cfg.loss_block, loss_block_unit=cfg.loss_block_unit,
+    )
+
+
+def host_batched_losses(g_r, g_i, fg_r, fg_i, host_chunks, data_r, data_i,
+                        wgts, prior_r=None, prior_i=None, regularization=None):
+    """numpy mirror of batched_chunk_losses for the step-0 guard on paths
+    that upload host cubes STRAIGHT into plan entry layouts (the warm-
+    started time scan): there is never a pristine default-layout device
+    copy to evaluate, so the trustworthy reference value comes from the
+    host arrays themselves. ``host_chunks`` is a list of (comps, a0, a1)
+    numpy triples (fetch device comps once with ops.loss.host_chunk_comps).
+    All arrays carry the batch axis; returns (nbatch,) float64."""
+    from ..ops.loss import fg_model_host
+
+    g_r = np.asarray(g_r, dtype=np.float64)
+    g_i = np.asarray(g_i, dtype=np.float64)
+    nbatch = g_r.shape[0]
+    total = np.zeros((nbatch,), dtype=np.float64)
+    mr_sum = np.zeros((nbatch,), dtype=np.float64)
+    mi_sum = np.zeros((nbatch,), dtype=np.float64)
+    for cnum, (comps, a0, a1) in enumerate(host_chunks):
+        a0 = np.asarray(a0)
+        a1 = np.asarray(a1)
+        for b in range(nbatch):
+            vr, vi = fg_model_host(
+                np.asarray(fg_r[cnum])[b], np.asarray(fg_i[cnum])[b], comps
+            )
+            pr = (g_r[b][a0] * g_r[b][a1] + g_i[b][a0] * g_i[b][a1])
+            pi = (g_r[b][a0] * g_i[b][a1] - g_i[b][a0] * g_r[b][a1])
+            mr = pr * vr + pi * vi
+            mi = -pi * vr + pr * vi
+            dr = np.asarray(data_r[cnum][b], dtype=np.float64)
+            di = np.asarray(data_i[cnum][b], dtype=np.float64)
+            w = np.asarray(wgts[cnum][b], dtype=np.float64)
+            total[b] += np.sum(w * (np.square(dr - mr) + np.square(di - mi)))
+            if regularization == "sum":
+                mr_sum[b] += np.sum(mr * w)
+                mi_sum[b] += np.sum(mi * w)
+            del vr, vi, pr, pi, mr, mi, dr, di, w
+    if regularization == "sum":
+        total = total + (
+            np.square(mr_sum - np.asarray(prior_r, dtype=np.float64))
+            + np.square(mi_sum - np.asarray(prior_i, dtype=np.float64))
+        )
+    return total
+
+
+def loss_guard_floor():
+    """Absolute floor (rms-normalized chi-square units) below which the
+    step-0 guard never aborts. The drivers scale data by its rms and
+    normalize weights to unit sum, so a scrambled cube evaluates to
+    O(0.1-1) chi-square regardless of how good the fit would have been —
+    while a NEAR-PERFECT warm start (projected fixtures) sits at rounding
+    noise (~1e-13) where one Adam warm-up step legitimately raises the
+    loss by orders of magnitude in relative terms. Both conditions must
+    hold to abort: recorded > factor x expected AND recorded > floor."""
+    import os
+
+    return float(os.environ.get("CALAMITY_LOSS_GUARD_FLOOR", "1e-4"))
+
+
+def check_initial_loss(recorded0, expected0, factor, context=""):
+    """Abort loudly when the first recorded per-slice loss disagrees with
+    the independently computed initial loss beyond ``factor`` — the
+    self-detecting version of the 28x-chi-square layout scramble.
+
+    One warm-up Adam step separates the two evaluations, so the check is
+    one-sided-strict: a recorded loss ABOVE factor x expected (and above
+    loss_guard_floor in absolute normalized units) aborts — a scrambled
+    cube evaluated against its fitted model raises chi-square to O(data
+    power); a recorded loss below expected / factor — legitimate for a
+    fast-converging first step — only warns. Slices whose expected loss
+    is zero or non-finite (zero-weight dummy batch rows) are skipped."""
+    import sys
+
+    recorded0 = np.asarray(recorded0, dtype=np.float64)
+    expected0 = np.asarray(expected0, dtype=np.float64)
+    floor = loss_guard_floor()
+    valid = np.isfinite(expected0) & (expected0 > 0) & np.isfinite(recorded0)
+    if not valid.any():
+        return
+    ratio = np.where(valid, recorded0 / np.where(valid, expected0, 1.0), 1.0)
+    ratio = np.where(recorded0 > floor, ratio, 1.0)
+    if (ratio > factor).any():
+        bad = int(np.argmax(ratio))
+        raise RuntimeError(
+            f"step-0 loss cross-check failed{context}: slice {bad} first "
+            f"recorded loss {recorded0[bad]:.6e} is {ratio[bad]:.1f}x the "
+            f"independently computed initial loss {expected0[bad]:.6e} "
+            f"(tolerance factor {factor:g}). This is the signature of a "
+            "scrambled entry buffer (a relayout/device_put corrupted a "
+            "data/weight cube — the 28x-chi-square class); the descent "
+            "would silently fit corrupted data. Set CALAMITY_LOSS_GUARD=off "
+            "to bypass, CALAMITY_LOSS_GUARD_FACTOR to widen."
+        )
+    if (valid & (ratio < 1.0 / factor)).any():
+        bad = int(np.argmin(np.where(valid, ratio, 1.0)))
+        print(
+            f"calamity_tpu: step-0 loss cross-check{context}: slice {bad} "
+            f"first recorded loss {recorded0[bad]:.6e} is "
+            f"{1.0 / max(ratio[bad], 1e-300):.1f}x BELOW the expected "
+            f"initial loss {expected0[bad]:.6e} — plausible for a fast-"
+            "converging warm-up step, but verify the run's convergence.",
+            file=sys.stderr, flush=True,
+        )
+
+
 def _format_of(x):
     try:
         return x.format
@@ -798,17 +949,26 @@ class BatchedSegmentPlan:
         args = jax.tree_util.tree_map(
             _put_format, args, tuple(self.entry_formats)
         )
-        try:
-            return self._compiled(*args)
-        except ValueError as e:
-            if "compiled for input layouts" not in str(e):
-                raise
-            fixed = self._apply_required_layouts(str(e), args)
-            if fixed is None:
-                raise
-            # the check fired BEFORE execution, so donated buffers are
-            # intact; retry once with the corrected layouts
-            return self._compiled(*fixed)
+        # the pre-execution layout check reports AT MOST 5 mismatched
+        # arguments per raise (jax pxla.check_array_xla_sharding_layout_
+        # match, num_errors=5), so healing is a bounded LOOP, not a single
+        # retry: each pass fixes the reported batch and re-raises the next.
+        # The check fires BEFORE execution, so donated buffers stay intact
+        # across retries.
+        for _ in range(8):
+            try:
+                return self._compiled(*args)
+            except ValueError as e:
+                # gate on healable content, not the exact phrasing: the
+                # preamble says "input layouts" or "input shardings and
+                # layouts" depending on the mismatch mix
+                if "Required layout:" not in str(e):
+                    raise
+                fixed = self._apply_required_layouts(str(e), args)
+                if fixed is None:
+                    raise
+                args = fixed
+        return self._compiled(*args)
 
     def put_entries(self, index, tree):
         """device_put ``tree`` (matching entry slot ``index`` of the
@@ -903,7 +1063,7 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
                              fg_r, fg_i, prior_r, prior_i, checkpoint_dir,
                              checkpoint_every, resume, verbose, opt_state0=None,
                              plan: BatchedSegmentPlan | None = None,
-                             steps_per_execution=None):
+                             steps_per_execution=None, expected_loss0=None):
     """Segmented batched descent with host-side checkpointing between
     segments (the batched counterpart of solver.fit._fit_checkpointed;
     VERDICT r2 item 1 — the flagship time-parallel path previously dropped
@@ -1191,6 +1351,17 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         history_all = np.concatenate(
             [history_all, np.asarray(hist_seg, dtype=np.float32)[:nsteps_seg]]
         )
+        if was_warmup and expected_loss0 is not None and len(history_all):
+            # step-0 cross-check (fresh runs only — was_warmup is never set
+            # on a resume): the first recorded loss must agree with the
+            # independently computed initial loss, or an entry buffer was
+            # scrambled on its way into the executable's layout
+            factor = loss_guard_factor()
+            if factor is not None:
+                check_initial_loss(
+                    history_all[0], expected_loss0, factor,
+                    context=" (AOT segment path)" if plan is not None else "",
+                )
         step_total += nsteps_seg
         since_save += nsteps_seg
         if since_save >= seg:

@@ -355,6 +355,23 @@ def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
     if "writeback_s" in timings:
         print(f"write-back: {timings['writeback_s']:7.1f}s "
               f"(host RSS at end {timings.get('writeback_rss_gib', float('nan')):.1f} GiB)")
+    stage_keys = [
+        ("select_s", "baseline select"),
+        ("model_resid_copies_s", "model/resid copies"),
+        ("gains_init_s", "gains init"),
+        ("sky_init_s", "sky-model init"),
+        ("extract_s", "host extraction into padded stacks"),
+        ("upload_s", "device upload"),
+        ("warmstart_s", "lstsq warm starts"),
+        ("loss_guard_s", "step-0 loss guard"),
+        ("plan_compile_s", "segment executable compiles"),
+        ("descent_s", "descent (device)"),
+    ]
+    if any(k in timings for k, _ in stage_keys):
+        print("--- per-stage wall-clock ---")
+        for k, label in stage_keys:
+            if k in timings:
+                print(f"  {label:36s}: {timings[k]:8.1f}s")
     print(f"loss      : {info[0][0]['loss'][0]:.3e} -> {info[0][0]['loss'][-1]:.3e}")
     print(f"model/resid: {rms(model.data_array) / rms(resid.data_array):.1f}x")
     print(f"data/resid : {rms(corrupted.data_array) / rms(resid.data_array):.1f}x")
