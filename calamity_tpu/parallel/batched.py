@@ -772,6 +772,21 @@ def _format_of(x):
         return None
 
 
+def _layout_honored(got, want):
+    """Whether a realized layout satisfies a requested one. A request with
+    ``tiling=None`` (or empty) constrains only the dimension order — the
+    backend fills in its default tiling, which must not count as a
+    violation (healed layouts parsed from error text that printed
+    ``tiling=None`` land here)."""
+    if got == want:
+        return True
+    if got is None or want is None:
+        return False
+    if tuple(got.major_to_minor) != tuple(want.major_to_minor):
+        return False
+    return not want.tiling or got.tiling == want.tiling
+
+
 def _put_format(x, fmt):
     if fmt is None or getattr(fmt, "layout", None) is None:
         # unconstrained entry (input_formats reports layout=None for some
@@ -781,7 +796,7 @@ def _put_format(x, fmt):
         return x
     y = jax.device_put(x, fmt)
     got = _format_of(y)
-    if got != fmt and getattr(got, "layout", None) != fmt.layout:
+    if got != fmt and not _layout_honored(getattr(got, "layout", None), fmt.layout):
         # the transfer path did not honor the requested layout (observed
         # on relay-attached TPU backends for compiler-chosen custom bf16
         # layouts — which is why BatchedSegmentPlan pins bf16 entries to
