@@ -1046,6 +1046,14 @@ def _calibrate_time_scan(
             )
             from .parallel.batched import host_batched_losses, loss_guard_factor
 
+            def _smark(key, t0):
+                # per-time durability accounting (docs/DESIGN.md "Warm-
+                # started time scan"): what the scan mode pays per time
+                # beyond the descent itself
+                if timings is not None:
+                    timings[key] = timings.get(key, 0.0) + (_time.time() - t0)
+                return _time.time()
+
             _host_chunks_cache = []
 
             def _host_chunks():
@@ -1109,6 +1117,7 @@ def _calibrate_time_scan(
                     # entry layouts (never a pristine default-layout device
                     # copy), so the guard's reference value comes from the
                     # host arrays themselves
+                    _t_g = _time.time()
                     expected0 = host_batched_losses(
                         np.asarray(carry_host[0])[None],
                         np.asarray(carry_host[1])[None],
@@ -1119,7 +1128,9 @@ def _calibrate_time_scan(
                         prior_i=priors_i_np[slot : slot + 1],
                         regularization=cfg_seg.regularization,
                     )
+                    _smark("scan_guard_s", _t_g)
 
+                _t_up = _time.time()
                 dr = up(dr_h, 1)
                 di = up(di_h, 2)
                 w = up(w_h, 3)
@@ -1134,13 +1145,17 @@ def _calibrate_time_scan(
                 if mesh is not None:
                     pr = jax.device_put(pr, repl)
                     pi = jax.device_put(pi, repl)
-                return batched_fit_checkpointed(
+                jax.block_until_ready(w)
+                _t_desc = _smark("scan_upload_s", _t_up)
+                res = batched_fit_checkpointed(
                     cfg_seg, tuple(chs), dr, di, w,
                     g_rb, g_ib, tuple(f_rb), tuple(f_ib), pr, pi,
                     ck_t, ck_every_eff, resume, verbose, opt_state0,
                     plan=plan, steps_per_execution=steps_per_execution,
                     expected_loss0=expected0,
                 )
+                _smark("scan_descent_s", _t_desc)
+                return res
 
             def res_row(res):
                 n = int(res.nsteps)
@@ -1215,9 +1230,11 @@ def _calibrate_time_scan(
                 # host fetch (whole arrays — plan outputs must not be
                 # eagerly sliced on relay backends; see
                 # batched_fit_checkpointed's host-side rule)
+                _t_f = _time.time()
                 out_host = jax.tree_util.tree_map(
                     lambda x: np.asarray(x)[0], carry_b
                 )
+                _t_sv = _smark("scan_fetch_s", _t_f)
                 carry_host = out_host
                 outputs.append((out_host, row, nst))
                 if ck is not None:
@@ -1228,6 +1245,7 @@ def _calibrate_time_scan(
                     )
                     if ck_t is not None:
                         _shutil.rmtree(ck_t, ignore_errors=True)
+                    _smark("scan_save_s", _t_sv)
                     echo(
                         f"{datetime.datetime.now()} checkpointed scan time "
                         f"{slot + 1}/{len(usable)}",

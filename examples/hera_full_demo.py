@@ -366,6 +366,11 @@ def run_fit(args, corrupted, comps, nants, nbls, n_uniq, t_sim, t_basis,
         ("loss_guard_s", "step-0 loss guard"),
         ("plan_compile_s", "segment executable compiles"),
         ("descent_s", "descent (device)"),
+        ("scan_guard_s", "scan: step-0 host guard"),
+        ("scan_upload_s", "scan: per-time uploads"),
+        ("scan_descent_s", "scan: descents"),
+        ("scan_fetch_s", "scan: solution fetches"),
+        ("scan_save_s", "scan: marker saves"),
     ]
     if any(k in timings for k, _ in stage_keys):
         print("--- per-stage wall-clock ---")
