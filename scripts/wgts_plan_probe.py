@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--loss_block", type=int, default=2048)
     ap.add_argument("--maxsteps", type=int, default=2000)
     ap.add_argument("--checkpoint_every", type=int, default=500)
+    ap.add_argument("--patience", type=int, default=0,
+                    help="probe the program WITH patience freezing (the "
+                         "scale entry points default to 500; patience>0 "
+                         "implies use_min argmin tracking = one extra "
+                         "params-sized carry in the program)")
+    ap.add_argument("--wgts", default="both",
+                    choices=["both", "float32", "bfloat16"])
     args = ap.parse_args()
 
     import numpy as np
@@ -106,13 +113,18 @@ def main():
 
     cfg = FitConfig(
         optimizer="Adamax", opt_kwargs=(("learning_rate", 0.01),),
-        maxsteps=args.maxsteps, tol=1e-11, use_min=False, freeze_model=False,
-        regularization=None, use_pallas=False, remat=True, patience=0,
+        maxsteps=args.maxsteps, tol=1e-11, use_min=args.patience > 0,
+        freeze_model=False,
+        regularization=None, use_pallas=False, remat=True,
+        patience=args.patience,
         loss_block=args.loss_block, loss_block_unit=1,
     )
 
     gib = 2.0 ** -30
-    for wdt, name in ((f32, "float32"), (jnp.bfloat16, "bfloat16")):
+    dtypes = {"float32": (f32,), "bfloat16": (jnp.bfloat16,),
+              "both": (f32, jnp.bfloat16)}[args.wgts]
+    for wdt in dtypes:
+        name = jnp.dtype(wdt).name
         wgts_sds = [sds(tuple(d.shape), wdt) for d in data_sds]
         t0 = time.time()
         try:
