@@ -1153,6 +1153,11 @@ def _calibrate_time_scan(
                     ck_t, ck_every_eff, resume, verbose, opt_state0,
                     plan=plan, steps_per_execution=steps_per_execution,
                     expected_loss0=expected0,
+                    # the per-time marker saved right after this fit
+                    # supersedes ck_t's final partial segment — skip the
+                    # redundant tail D2H+write (durability stays bounded
+                    # by checkpoint_every; see batched_fit_checkpointed)
+                    tail_save=False,
                 )
                 _smark("scan_descent_s", _t_desc)
                 return res

@@ -1078,7 +1078,8 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
                              fg_r, fg_i, prior_r, prior_i, checkpoint_dir,
                              checkpoint_every, resume, verbose, opt_state0=None,
                              plan: BatchedSegmentPlan | None = None,
-                             steps_per_execution=None, expected_loss0=None):
+                             steps_per_execution=None, expected_loss0=None,
+                             tail_save=True):
     """Segmented batched descent with host-side checkpointing between
     segments (the batched counterpart of solver.fit._fit_checkpointed;
     VERDICT r2 item 1 — the flagship time-parallel path previously dropped
@@ -1382,13 +1383,27 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
         if since_save >= seg:
             # reset the cadence counter even without persistence so
             # seg - since_save never pins seg_len at zero for callers
-            # passing checkpoint_every < maxsteps with no directory
-            if checkpoint_dir is not None:
+            # passing checkpoint_every < maxsteps with no directory.
+            # With tail_save=False a cadence save landing exactly at the
+            # fit's END is skipped too (when checkpoint_every > maxsteps,
+            # seg clamps to maxsteps and the single end-of-fit save
+            # arrives through THIS branch, not the tail branch below)
+            will_continue = step_total < cfg.maxsteps and not bool(
+                np.asarray(frozen).all()
+            )
+            if checkpoint_dir is not None and (tail_save or will_continue):
                 save(step_total)
             since_save = 0
-    if checkpoint_dir is not None and since_save > 0:
+    if checkpoint_dir is not None and since_save > 0 and tail_save:
         # partial tail (early freeze or a sub-checkpoint_every final
-        # execution): persist so a resume re-enters at the true end state
+        # execution): persist so a resume re-enters at the true end state.
+        # ``tail_save=False`` (the warm-started time scan) skips this:
+        # there the caller persists its own per-time marker moments later,
+        # which supersedes this directory entirely — the tail save costs a
+        # full D2H of params+opt_state(+best_params) plus a multi-100-MB
+        # disk write per TIME, and durability stays bounded by
+        # checkpoint_every (a crash in the marker window redoes at most
+        # the partial tail, exactly the periodic-checkpoint guarantee)
         save(step_total)
 
     nsteps_slice = np.minimum(np.asarray(nsteps_slice), step_total)

@@ -324,6 +324,63 @@ def test_steps_per_execution_counts_warmup():
         assert np.array_equal(np.asarray(res.loss_history)[:12], href[:12])
 
 
+def test_tail_save_skip(tmp_path):
+    """tail_save=False (the warm-started scan's setting) suppresses ONLY
+    the final partial-segment checkpoint: periodic saves still land, the
+    returned trajectory is bit-identical, and with checkpoint_every >
+    maxsteps no checkpoint is written at all (the scan's per-time marker
+    is the durability there)."""
+    import jax.numpy as jnp
+
+    from calamity_tpu.parallel.batched import batched_fit_checkpointed
+    from calamity_tpu.solver.checkpoint import latest_checkpoint
+    from calamity_tpu.solver.fit import FitConfig
+
+    rng = np.random.default_rng(3)
+    nb, na, F, V, G = 2, 4, 16, 4, 6
+    chunk = (
+        jnp.asarray(rng.standard_normal((G, 1, F, V)).astype(np.float32)),
+        jnp.asarray(rng.integers(0, na, (G, 1)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, na, (G, 1)).astype(np.int32)),
+    )
+    dr = jnp.asarray(rng.standard_normal((nb, G, 1, F)).astype(np.float32))
+    di = jnp.asarray(rng.standard_normal((nb, G, 1, F)).astype(np.float32))
+    w = jnp.asarray(np.abs(rng.standard_normal((nb, G, 1, F))).astype(np.float32))
+
+    def params():
+        r = np.random.default_rng(7)
+        return (
+            jnp.ones((nb, na, F), jnp.float32),
+            jnp.zeros((nb, na, F), jnp.float32),
+            (jnp.asarray(r.standard_normal((nb, G, V)).astype(np.float32)),),
+            (jnp.asarray(r.standard_normal((nb, G, V)).astype(np.float32)),),
+        )
+
+    cfg = FitConfig(maxsteps=10, tol=0.0)
+    pz = jnp.zeros((nb,), jnp.float32)
+
+    def run(ckdir, ck_every=500, **kw):
+        return batched_fit_checkpointed(
+            cfg, (chunk,), (dr,), (di,), (w,), *params(), pz, pz,
+            ckdir, ck_every, False, False, **kw,
+        )
+
+    ck_a = str(tmp_path / "with_tail")
+    ref = run(ck_a)
+    assert latest_checkpoint(ck_a) is not None  # 10 < 500: tail save only
+    ck_b = str(tmp_path / "no_tail")
+    res = run(ck_b, tail_save=False)
+    assert latest_checkpoint(ck_b) is None
+    assert np.array_equal(
+        np.asarray(res.loss_history)[:10], np.asarray(ref.loss_history)[:10]
+    )
+    # periodic saves are NOT suppressed: ck_every=4 -> saves at 4 and 8,
+    # tail (step 10) skipped
+    ck_c = str(tmp_path / "periodic")
+    run(ck_c, ck_every=4, tail_save=False)
+    assert os.path.basename(latest_checkpoint(ck_c)) == "step_8"
+
+
 def test_steps_per_execution_rejected_on_serial_path(projected_multitime):
     """The serial path raises loudly instead of silently ignoring the
     execution bound (the time_parallel paths — batched AND warm-started
