@@ -1291,12 +1291,28 @@ def batched_fit_checkpointed(cfg: FitConfig, chunks, data_r, data_i, wgts, g_r, 
                     np.where(ever_improved, col_min, float(big)), dtype=dtype
                 )
     elif cfg.use_min:
-        # a DISTINCT copy: params and best_params are both donated to
+        # DISTINCT buffers: params and best_params are both donated to
         # the segment, and donating the same buffers twice is invalid.
-        # (The snapshot is pre-warm-up — equivalent, since best_loss
-        # enters at `big` so every slice's best is overwritten at its
-        # first recorded step.)
-        best_params = jax.tree_util.tree_map(jnp.copy, params)
+        # Fresh ZEROS, not jnp.copy(params): best_loss enters at `big`,
+        # so every unfrozen slice's best is overwritten at its first
+        # recorded step and the initial values are never read (fresh
+        # entries start with frozen=False, so with maxsteps > 0 every
+        # slice records). Copying would also be an EAGER op on the entry
+        # params — on the warm-started scan's mixed schedule those are
+        # plan outputs with compiler-chosen layouts, and relay-attached
+        # backends reject eager ops on such arrays (INVALID_ARGUMENT;
+        # see the host-side rule below).
+        def _fresh_zeros(x):
+            z = jnp.zeros(tuple(x.shape), x.dtype)
+            sh = getattr(x, "sharding", None)
+            if sh is not None and len(getattr(sh, "device_set", ())) > 1:
+                # mesh runs: the segment jit resolves shardings from its
+                # arguments — match the params' placement (metadata read
+                # only; no eager compute on the source array)
+                z = jax.device_put(z, sh)
+            return z
+
+        best_params = jax.tree_util.tree_map(_fresh_zeros, params)
 
     # HOST-SIDE RULE for this loop: no eager jax ops and no lazy slices on
     # the segment outputs — fetch whole arrays (np.asarray) and compute on
