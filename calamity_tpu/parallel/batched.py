@@ -26,6 +26,7 @@ BASELINE.json's north star.
 from __future__ import annotations
 
 import collections
+import warnings
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -798,18 +799,27 @@ def _put_format(x, fmt):
     got = _format_of(y)
     if got != fmt and not _layout_honored(getattr(got, "layout", None), fmt.layout):
         # the transfer path did not honor the requested layout (observed
-        # on relay-attached TPU backends for compiler-chosen custom bf16
-        # layouts — which is why BatchedSegmentPlan pins bf16 entries to
-        # the default layout). Executing anyway either fails the runtime
-        # layout check or silently computes on a mis-laid-out cube; a
-        # client-side compiled relayout was observed to SCRAMBLE values
-        # through the relay. Fail loudly instead.
-        raise RuntimeError(
+        # on relay-attached TPU backends for compiler-chosen custom
+        # layouts: bf16 cubes in round 4, and f32 cubes with size-1 axes
+        # on the nbatch=1 scan path). device_put is VALUE-exact either
+        # way, so this is not the scramble class (which came from a
+        # compiled relayout program, not a transfer); the pre-execution
+        # runtime layout check is the authority on whether the realized
+        # layout is actually acceptable — entry_formats itself is known
+        # to misreport (see _apply_required_layouts), so the requested
+        # fmt may simply be wrong. Warn and defer: a true mismatch fails
+        # the runtime check, enters the bounded heal loop in `run`, and
+        # raises loudly if the backend cannot realize the REQUIRED
+        # layout either; a value scramble is caught by the step-0 loss
+        # guard (check_initial_loss).
+        warnings.warn(
             f"device_put did not honor the planned entry layout for "
             f"{getattr(x, 'dtype', '?')}{getattr(x, 'shape', '?')}: got "
-            f"{_format_of(y)}, wanted {fmt}. This backend cannot realize "
-            "the layout client-side; if it is not bfloat16 (already "
-            "pinned to default), extend the plan's pinned-layout rule."
+            f"{got}, wanted {fmt}. Deferring to the runtime layout "
+            "check (entry_formats may misreport; the heal loop recovers "
+            "a true mismatch).",
+            RuntimeWarning,
+            stacklevel=2,
         )
     return y
 

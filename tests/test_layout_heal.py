@@ -152,17 +152,22 @@ def test_put_format_honored_roundtrip():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 
 
-def test_put_format_unhonored_raises(monkeypatch):
-    """A transfer that silently ignores the requested layout must fail
-    loudly (executing would either fail the runtime check or silently
-    compute on a mis-laid-out cube)."""
+def test_put_format_unhonored_warns_and_defers(monkeypatch):
+    """A transfer that ignores the requested layout WARNS and returns the
+    realized array: entry_formats is known to misreport (so the request
+    itself may be wrong), device_put is value-exact, and the
+    pre-execution runtime layout check + heal loop arbitrate a true
+    mismatch (the round-5 scan run died on the old hard error for an f32
+    cube whose required layout differed only by a size-1-axis
+    permutation + tiling)."""
     x = jnp.ones((2, 3, 4, 5))
     fmt = Format(
         Layout((2, 1, 0, 3), None), SingleDeviceSharding(jax.devices()[0])
     )
     monkeypatch.setattr(jax, "device_put", lambda arr, f: arr)  # ignores f
-    with pytest.raises(RuntimeError, match="did not honor"):
-        _put_format(x, fmt)
+    with pytest.warns(RuntimeWarning, match="did not honor"):
+        y = _put_format(x, fmt)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 
 
 def test_run_heals_and_retries(monkeypatch):
