@@ -1041,8 +1041,19 @@ def _calibrate_time_scan(
                         verbose=verbose,
                     )
 
+            # The scan holds ONE time slice on device (nbatch=1), so the
+            # auto-layout segment plans — which exist to fit the
+            # 8-poltime full-array argument set in HBM — buy nothing
+            # here, and their entry relayouts are exactly the machinery
+            # the relay keeps corrupting (round 5: device_put into the
+            # plan's f32 entry layout SCRAMBLED a data cube; the step-0
+            # guard caught a first recorded loss 269x the host value).
+            # Plain jit with default entry layouts uploads each time's
+            # cubes with value-safe plain transfers; CALAMITY_SCAN_PLANS=1
+            # re-enables plans for debugging the relayout path.
             use_auto_plan = (
                 mesh is None and not use_pallas and auto_layouts_enabled()
+                and _os.environ.get("CALAMITY_SCAN_PLANS", "") == "1"
             )
             from .parallel.batched import host_batched_losses, loss_guard_factor
 

@@ -410,7 +410,11 @@ def test_guard_catches_scrambled_cube_time_parallel(monkeypatch, corrupted_multi
 
 def test_guard_catches_scrambled_cube_scan(monkeypatch, corrupted_multitime):
     """Same detection on the warm-started time scan, whose guard reference
-    is computed on the HOST (cubes upload straight into plan layouts)."""
+    is computed on the HOST (cubes upload straight into plan layouts).
+    The scan defaults to the plain-jit path since round 5 (nbatch=1 needs
+    no auto-layout plan and the relay corrupts nbatch=1 entry relayouts);
+    CALAMITY_SCAN_PLANS=1 re-enables the guarded plan path under test."""
+    monkeypatch.setenv("CALAMITY_SCAN_PLANS", "1")
     _scramble_put_entries(monkeypatch, index_to_scramble=1)
     with pytest.raises(RuntimeError, match="step-0 loss cross-check"):
         calibration.calibrate_and_model_dpss(
