@@ -4,6 +4,12 @@
 #
 # Ingredients (docs/DESIGN.md "Multi-time HBM budget" + "Endurance status"):
 #   --loss_block_ngrps 2048     the measured 13.3-GiB-of-15.75 HBM plan
+#                               (+~1.0 GiB for the patience/use_min argmin
+#                               carry still fits UNFLAGGED; flagged runs
+#                               carry the full bf16 weights cube and need
+#                               --loss_block_ngrps 512 — which also halves
+#                               their step cost; DESIGN.md "Round-5
+#                               flagged campaign")
 #   --steps_per_execution 40    relay execution watchdog: the synthetic
 #                               same-footprint ladder (fullscale_segment_probe)
 #                               ran 100-step/~50 s executions fine and lost the
